@@ -1,0 +1,131 @@
+"""Configuration dataclasses for the TPU-native AKAZE/SfM engine.
+
+Defaults reproduce the reference configuration (SURVEY.md §2 C12: 4 octaves,
+4 sublevels, sigma0 = 1.6, derivative_factor = 1.5, detector threshold = 1e-3,
+contrast percentile 0.7 over 300 bins, PM-g2 diffusivity, 3 descriptor
+channels, pattern size 10).  All fields are static (hashable) so a config can
+be closed over by `jax.jit` without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class Diffusivity(enum.Enum):
+    """Conductivity function used by the nonlinear diffusion (SURVEY.md §2 C5)."""
+
+    PM_G1 = "pm_g1"
+    PM_G2 = "pm_g2"
+    WEICKERT = "weickert"
+
+
+@dataclasses.dataclass(frozen=True)
+class AkazeConfig:
+    """AKAZE front-end options (reference `Config` struct, SURVEY.md §2 C12)."""
+
+    num_octaves: int = 4
+    num_sublevels: int = 4
+    # sigma0: scale of the first evolution level (reference `base_scale_offset`).
+    base_scale_offset: float = 1.6
+    # Multiplier from esigma to keypoint size / detector kernel scale.
+    derivative_factor: float = 1.5
+    # Det-Hessian response threshold.
+    detector_threshold: float = 1e-3
+    # Initial contrast factor before the percentile estimate replaces it.
+    initial_contrast: float = 1e-3
+    # Contrast factor estimation: percentile of the gradient histogram.
+    contrast_percentile: float = 0.7
+    contrast_nbins: int = 300
+    # Fallback contrast factor when the histogram never reaches the percentile.
+    contrast_fallback: float = 0.03
+    # Contrast decay applied at each octave change during scale-space build.
+    contrast_octave_decay: float = 0.75
+    diffusivity: Diffusivity = Diffusivity.PM_G2
+    # FED scheme maximum stable explicit step (SURVEY.md §2 C4).
+    fed_tau_max: float = 0.25
+    # Octaves whose min(image dim) falls below this are dropped (SURVEY.md §2 C3).
+    min_octave_dim: int = 40
+    # M-LDB descriptor (SURVEY.md §2 C11): 3 channels over 2x2/3x3/4x4 grids.
+    descriptor_channels: int = 3
+    descriptor_pattern_size: int = 10
+    # Descriptor/orientation sampling safety border factor: smax = 10*sqrt(2).
+    border_smax: float = 10.0 * math.sqrt(2.0)
+    # De-dup radius factor applied to keypoint size (SURVEY.md §2 C9: size/2).
+    dedup_radius_factor: float = 0.5
+    # TPU front-end only: fixed keypoint capacity (SoA top-K with validity mask).
+    max_keypoints: int = 2048
+
+    @property
+    def num_levels(self) -> int:
+        return self.num_octaves * self.num_sublevels
+
+    @property
+    def descriptor_bits(self) -> int:
+        """486 = 3 channels * (C(4,2) + C(9,2) + C(16,2)) pairwise comparisons."""
+        n = 0
+        for cells in (4, 9, 16):
+            n += cells * (cells - 1) // 2
+        return self.descriptor_channels * n
+
+    @property
+    def descriptor_bytes(self) -> int:
+        return (self.descriptor_bits + 7) // 8  # 61 for the default config
+
+    @property
+    def descriptor_words(self) -> int:
+        """uint32 words holding the packed descriptor (16 -> 512 bits padded)."""
+        return (self.descriptor_bytes + 3) // 4
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Brute-force Hamming matcher options (SURVEY.md §3.4)."""
+
+    # Lowe-style ratio threshold on nearest/second-nearest Hamming distances.
+    ratio: float = 0.8
+    # Require mutual nearest neighbors.
+    mutual: bool = True
+    # Absolute maximum Hamming distance for an acceptable match (<= 486).
+    max_distance: int = 486
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """On-device fixed-iteration RANSAC for the essential matrix (SURVEY.md §7.3)."""
+
+    num_iterations: int = 512
+    sample_size: int = 8  # 8-point algorithm
+    # Inlier threshold on Sampson distance in *normalized* image coordinates.
+    inlier_threshold: float = 1e-3
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SfmConfig:
+    """Incremental SfM / bundle adjustment options (SURVEY.md §7.1 sfm/)."""
+
+    max_keyframes: int = 64
+    max_points: int = 8192
+    ba_iterations: int = 10
+    # Levenberg-Marquardt damping bounds.
+    lm_lambda_init: float = 1e-3
+    lm_lambda_max: float = 1e6
+    huber_delta: float = 3.0
+    # Keyframe selection: minimum fraction of tracked matches before a new
+    # keyframe is inserted (video front-end, SURVEY.md §7.2 step 5).
+    keyframe_min_tracked: float = 0.6
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed paths (SURVEY.md §2 parallelism)."""
+
+    data: int = 1  # frames / keyframe-blocks sharded along this axis
+    spatial: int = 1  # image rows sharded along this axis (FED halo exchange)
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.spatial
