@@ -57,6 +57,9 @@ class AkazeConfig:
     dedup_radius_factor: float = 0.5
     # TPU front-end only: fixed keypoint capacity (SoA top-K with validity mask).
     max_keypoints: int = 2048
+    # TPU front-end only: raw extrema candidates kept per scale-space level
+    # before cross-level NMS (top-K by response; SURVEY.md §7.3 extrema plan).
+    per_level_candidates: int = 256
 
     @property
     def num_levels(self) -> int:

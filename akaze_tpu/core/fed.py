@@ -112,7 +112,9 @@ def allocate_evolutions(width: int, height: int, config: AkazeConfig) -> List[Ev
     prev_etime = 0.0
     w, h = width, height
     for octave in range(config.num_octaves):
-        if min(w, h) < config.min_octave_dim:
+        # Octave 0 always survives (a sub-40px input must still extract);
+        # only downsampled octaves are dropped below min_octave_dim.
+        if octave > 0 and min(w, h) < config.min_octave_dim:
             break
         for sublevel in range(config.num_sublevels):
             esigma = config.base_scale_offset * math.pow(

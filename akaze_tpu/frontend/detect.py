@@ -1,0 +1,175 @@
+"""Scale-space extrema detection on the stacked scale space (SURVEY.md §2 C9).
+
+TPU reformulation of the reference's sequential extrema pass (SURVEY.md §7.3):
+the reference walks candidates in raster order mutating a Vec; here detection
+is a dense masked compare + per-level `top_k`, and the same/adjacent-level
+de-duplication becomes a symmetric parallel NMS:
+
+    P is suppressed iff some candidate Q with |level(Q) - level(P)| <= 1 lies
+    within radius r = 0.5 * size[max(level_P, level_Q)] (exactly the radius
+    the reference uses for that pair) and beats P on (response, earlier
+    raster/level order) — reproducing the reference's "higher response wins,
+    earlier point wins ties" outcome without the sequential chain.
+
+Chain effects (a replaced point un-suppressing a third) are not reproduced;
+parity vs the golden sequential model is gated tolerantly (SURVEY.md §7.3
+"verify it doesn't break parity gates").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akaze_tpu.core.config import AkazeConfig
+from akaze_tpu.core.types import Keypoints
+from akaze_tpu.frontend.scale_space import ScaleSpaceStatics
+
+_NEG = jnp.float32(-3.0e38)
+
+
+def _neighbor_max_3x3(ldet: jax.Array) -> jax.Array:
+    """Max over the 8 spatial neighbors per level (center excluded)."""
+    p = jnp.pad(ldet, [(0, 0)] * (ldet.ndim - 2) + [(1, 1), (1, 1)], constant_values=_NEG)
+    shifts = [
+        p[..., 0:-2, 0:-2], p[..., 0:-2, 1:-1], p[..., 0:-2, 2:],
+        p[..., 1:-1, 0:-2], p[..., 1:-1, 2:],
+        p[..., 2:, 0:-2], p[..., 2:, 1:-1], p[..., 2:, 2:],
+    ]
+    out = shifts[0]
+    for s in shifts[1:]:
+        out = jnp.maximum(out, s)
+    return out
+
+
+def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics):
+    """Per-level top-K strict 3x3 maxima above threshold.
+
+    Returns dict of (L, K) arrays: resp, yi, xi (level-pixel ints), valid.
+    """
+    cfg = statics.config
+    K = cfg.per_level_candidates
+    w0 = statics.w0
+    nmax = _neighbor_max_3x3(ldet)
+    cand = (ldet > cfg.detector_threshold) & (ldet > nmax) & jnp.asarray(statics.interior)
+    scores = jnp.where(cand, ldet, _NEG)
+    flat = scores.reshape(statics.num_levels, -1)
+    resp, idx = jax.lax.top_k(flat, K)  # (L, K)
+    valid = resp > _NEG
+    yi = idx // w0
+    xi = idx % w0
+    return {"resp": resp, "yi": yi, "xi": xi, "flat": idx, "valid": valid}
+
+
+def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
+    """Symmetric NMS over same + adjacent levels; returns surviving mask (L, K)."""
+    L = statics.num_levels
+    ratios = jnp.asarray(statics.ratios)[:, None]  # (L, 1)
+    x0 = cand["xi"].astype(jnp.float32) * ratios
+    y0 = cand["yi"].astype(jnp.float32) * ratios
+    resp = cand["resp"]
+    valid = cand["valid"]
+    # Unique priority key: level-major, raster order within level — the
+    # reference's insertion order, used only for exact-tie breaking.
+    npx = statics.h0 * statics.w0
+    tie = jnp.arange(L, dtype=jnp.int32)[:, None] * np.int32(npx) + cand["flat"]
+    # r^2 for each pair group: radius of the *higher* level in the pair
+    # (reference pass-1/pass-2 semantics, see module docstring).
+    r2 = jnp.asarray((statics.config.dedup_radius_factor * statics.sizes) ** 2)
+
+    def shift(a, d, fill):
+        """Shift along the level axis by d with fill (d = +1: level l sees l-1)."""
+        if d == 1:
+            return jnp.concatenate([jnp.full_like(a[:1], fill), a[:-1]], axis=0)
+        return jnp.concatenate([a[1:], jnp.full_like(a[:1], fill)], axis=0)
+
+    r2_next = jnp.pad(r2[1:], (0, 1))  # level l+1's radius, seen from level l
+    groups = []
+    for d, r2_pair in (
+        (0, r2[:, None, None]),  # same level: own radius
+        (1, r2[:, None, None]),  # Q at l-1: pair radius = level l's (P's)
+        (-1, r2_next[:, None, None]),  # Q at l+1: pair radius = level l+1's
+    ):
+        if d == 0:
+            qx, qy, qresp, qtie, qvalid = x0, y0, resp, tie, valid
+        else:
+            qx = shift(x0, d, 0.0)
+            qy = shift(y0, d, 0.0)
+            qresp = shift(resp, d, _NEG)
+            qtie = shift(tie, d, jnp.int64(0))
+            qvalid = shift(valid, d, False)
+        dx = x0[:, :, None] - qx[:, None, :]
+        dy = y0[:, :, None] - qy[:, None, :]
+        close = dx * dx + dy * dy <= r2_pair
+        beats = (qresp[:, None, :] > resp[:, :, None]) | (
+            (qresp[:, None, :] == resp[:, :, None]) & (qtie[:, None, :] < tie[:, :, None])
+        )
+        groups.append(jnp.any(close & beats & qvalid[:, None, :], axis=-1))
+    suppressed = groups[0] | groups[1] | groups[2]
+    return valid & jnp.logical_not(suppressed)
+
+
+def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
+    """2-var quadratic fit on Ldet per candidate; reject |offset| > 1
+    (SURVEY.md §2 C9).  Returns octave-0 (x, y) float coords + keep mask."""
+    lvl = jnp.arange(statics.num_levels, dtype=jnp.int32)[:, None]
+    lvl = jnp.broadcast_to(lvl, cand["yi"].shape)
+    y, x = cand["yi"], cand["xi"]
+
+    def at(dy, dx):
+        return ldet[lvl, y + dy, x + dx]
+
+    v = at(0, 0)
+    dxv = 0.5 * (at(0, 1) - at(0, -1))
+    dyv = 0.5 * (at(1, 0) - at(-1, 0))
+    dxx = at(0, 1) + at(0, -1) - 2.0 * v
+    dyy = at(1, 0) + at(-1, 0) - 2.0 * v
+    dxy = 0.25 * (at(1, 1) + at(-1, -1) - at(-1, 1) - at(1, -1))
+    det = dxx * dyy - dxy * dxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    ox = (-dxv * dyy + dyv * dxy) / safe_det
+    oy = (-dyv * dxx + dxv * dxy) / safe_det
+    keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
+    ratios = jnp.asarray(statics.ratios)[:, None]
+    xf = (x.astype(jnp.float32) + ox) * ratios
+    yf = (y.astype(jnp.float32) + oy) * ratios
+    return xf, yf, keep
+
+
+def detect(ldet: jax.Array, statics: ScaleSpaceStatics) -> Keypoints:
+    """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA."""
+    cfg = statics.config
+    cand = find_candidates(ldet, statics)
+    cand["valid"] = cross_level_nms(cand, statics)
+    xf, yf, keep = subpixel_refine(cand, ldet, statics)
+    valid = cand["valid"] & keep
+
+    L, K = valid.shape
+    flat_valid = valid.reshape(-1)
+    flat_resp = jnp.where(flat_valid, cand["resp"].reshape(-1), _NEG)
+    M = cfg.max_keypoints
+    # Small images can have fewer candidate slots than the output capacity.
+    k = min(M, L * K)
+    top_resp, order = jax.lax.top_k(flat_resp, k)
+    if k < M:
+        top_resp = jnp.pad(top_resp, (0, M - k), constant_values=_NEG)
+        order = jnp.pad(order, (0, M - k))
+
+    def take(a):
+        return a.reshape(-1)[order]
+
+    lvl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K))
+    sizes = jnp.asarray(statics.sizes)
+    octaves = jnp.asarray(statics.octaves)
+    class_id = take(lvl)
+    return Keypoints(
+        x=take(xf.reshape(L, K)),
+        y=take(yf.reshape(L, K)),
+        response=top_resp,
+        size=sizes[class_id],
+        octave=octaves[class_id],
+        class_id=class_id,
+        angle=jnp.zeros((M,), jnp.float32),
+        valid=top_resp > _NEG,
+    )
