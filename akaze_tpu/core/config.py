@@ -55,8 +55,10 @@ class AkazeConfig:
     border_smax: float = 10.0 * math.sqrt(2.0)
     # De-dup radius factor applied to keypoint size (SURVEY.md §2 C9: size/2).
     dedup_radius_factor: float = 0.5
-    # TPU front-end only: fixed keypoint capacity (SoA top-K with validity mask).
-    max_keypoints: int = 2048
+    # TPU front-end only: fixed keypoint capacity (SoA top-K with validity
+    # mask).  1024 comfortably covers VGA frames at the default threshold
+    # (~300-700 detections); raise for large/high-detail images.
+    max_keypoints: int = 1024
     # TPU front-end only: raw extrema candidates kept per scale-space level
     # before cross-level NMS (top-K by response; SURVEY.md §7.3 extrema plan).
     per_level_candidates: int = 256

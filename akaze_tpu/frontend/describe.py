@@ -5,13 +5,19 @@ from Lx/Ly samples on a discrete circle; M-LDB = per-cell means of
 (Lt, rotated Lx, rotated Ly) over 2x2/3x3/4x4 grids of a rotated patch,
 pairwise-compared into 486 bits (61 bytes, LSB-first).
 
-TPU-first design:
-  * All sampling patterns (circle offsets, grid offsets, cell assignment,
-    comparison pairs, packing weights) are compile-time numpy constants.
-  * Per-keypoint work is one batched gather from the (L, H0, W0) stacks
-    (nearest-pixel, clipped — the reference's sampling rule), then cell
-    means via a static one-hot matmul (MXU-shaped segment mean) and bit
-    packing via two small matmuls.  No per-keypoint loops anywhere.
+TPU-first design (SURVEY.md §7.3 "M-LDB sampling"):
+  * Scattered per-sample gathers are hostile to the TPU memory system, so
+    sampling is restructured: one aligned (PH, PW) patch per keypoint is
+    sliced out of the level stack (a contiguous block fetch), and
+    nearest-pixel sampling becomes **one-hot matmuls on the MXU**:
+        B = patch @ Rx^T  (column select),   S = sum_h Ry ⊙ B^T (row select)
+    with Rx/Ry exact {0,1} f32 one-hots built from the reference's
+    round-half-up sample coordinates — bit-exact sampling, zero gathers.
+  * The patch is sized from the worst-case per-level sampling scale
+    (static), and keypoints are processed in fixed chunks via lax.map to
+    bound the live one-hot/patch memory.
+  * Cell means are a static one-hot matmul; bit packing is two small
+    matmuls.  No per-keypoint loops anywhere.
 """
 
 from __future__ import annotations
@@ -31,10 +37,20 @@ def _round_half_up(x: jax.Array) -> jax.Array:
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _per_level_scale(ss_statics: ScaleSpaceStatics) -> np.ndarray:
+    """Reference `scale = max(1, fRound(0.5 * size / ratio))` — static/level."""
+    s = np.floor(0.5 * ss_statics.sizes / ss_statics.ratios + 0.5).astype(np.int32)
+    return np.maximum(s, 1)
+
+
 class DescribeStatics:
     """Compile-time sampling patterns shared by orientation and M-LDB."""
 
-    def __init__(self, config: AkazeConfig):
+    def __init__(self, config: AkazeConfig, ss_statics: ScaleSpaceStatics):
         self.config = config
         # --- orientation circle: |(i, j)| < 6, Gaussian sigma_w = 2.5 ---
         offs = [(i, j) for i in range(-6, 7) for j in range(-6, 7) if i * i + j * j < 36]
@@ -49,136 +65,158 @@ class DescribeStatics:
         self.win_hi = (ang1 + math.pi / 3.0).astype(np.float32)
         self.win_wrap = self.win_hi > 2.0 * math.pi
 
-        # --- M-LDB grids: sample offsets, cell one-hot, comparison pairs ---
+        # --- M-LDB grids: the 2x2/3x3/4x4 grids sample overlapping integer
+        # pattern offsets (441 unique of 1241 total for p=10), so sampling
+        # runs ONCE over the unique offsets and each grid's cell means are a
+        # static (unique, cells) mean-matrix matmul over those samples. ---
         p = config.descriptor_pattern_size
+        unique: dict[tuple, int] = {}
         self.grids = []
+        raw_grids = []
         for step in (p, int(math.ceil(2.0 * p / 3.0)), p // 2):
-            offk, offl, cell = [], [], []
+            entries = []  # (unique_idx, cell_idx)
             ci = 0
             for i in range(-p, p, step):
                 for j in range(-p, p, step):
                     for k in range(i, i + step):
                         for l in range(j, j + step):
-                            offk.append(k)
-                            offl.append(l)
-                            cell.append(ci)
+                            u = unique.setdefault((k, l), len(unique))
+                            entries.append((u, ci))
                     ci += 1
-            n_cells = ci
-            cell = np.array(cell)
-            onehot = np.zeros((len(offk), n_cells), np.float32)
-            onehot[np.arange(len(offk)), cell] = 1.0
-            onehot /= onehot.sum(axis=0, keepdims=True)  # mean, not sum
+            raw_grids.append((entries, ci, step))
+        n_unique = len(unique)
+        for entries, n_cells, step in raw_grids:
+            mean_mat = np.zeros((n_unique, n_cells), np.float32)
+            for u, c in entries:
+                mean_mat[u, c] += 1.0
+            mean_mat /= mean_mat.sum(axis=0, keepdims=True)  # mean, not sum
             pa, pb = np.triu_indices(n_cells, k=1)
             # Reference pair order is a-major (a < b) — triu_indices matches.
             self.grids.append(
                 dict(
-                    offk=np.array(offk, np.float32),
-                    offl=np.array(offl, np.float32),
-                    onehot=onehot,
+                    mean_mat=mean_mat,
                     pa=pa.astype(np.int32),
                     pb=pb.astype(np.int32),
                 )
             )
         self.total_bits = config.descriptor_bits
+        offs = np.array(sorted(unique, key=unique.get), np.float32)
+        self.all_offk = offs[:, 0]
+        self.all_offl = offs[:, 1]
+        self.n_samples = n_unique
+
+        # --- patch geometry (static): worst-case reach of any sample ---
+        s_max = int(_per_level_scale(ss_statics).max())
+        reach = int(math.ceil(p * s_max * math.sqrt(2.0))) + 2  # +rounding slack
+        reach = max(reach, 6 * s_max + 2)  # orientation circle reach
+        self.ph = min(_round_up(2 * reach, 8), ss_statics.h0)
+        self.pw = min(_round_up(2 * reach, 64), ss_statics.w0)
+        # Keypoint chunk size for lax.map (bounds live one-hot memory).
+        self.chunk = 256
 
 
-def _per_level_scale(ss_statics: ScaleSpaceStatics) -> np.ndarray:
-    """Reference `scale = max(1, fRound(0.5 * size / ratio))` — static/level."""
-    s = np.floor(0.5 * ss_statics.sizes / ss_statics.ratios + 0.5).astype(np.int32)
-    return np.maximum(s, 1)
+def _sample_matmul(patches: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """MXU one-hot sampling: patches (C, ch, PH, PW), py/px (C, S) patch-local
+    int coords -> samples (C, ch, S).
+
+    B = patch @ Rx^T selects columns; the row selection contracts with the
+    Ry one-hot (fused broadcast-compare-multiply-reduce, no gather)."""
+    C, ch, PH, PW = patches.shape
+    S = py.shape[-1]
+    rx = (px[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, PW), 2)).astype(
+        patches.dtype
+    )  # (C, S, PW)
+    # (C, ch, PH, PW) @ (C, PW, S) -> (C, ch, PH, S)
+    b = jnp.einsum("cehw,csw->cehs", patches, rx, preferred_element_type=jnp.float32)
+    ry = (py[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, PH), 2)).astype(
+        patches.dtype
+    )  # (C, S, PH)
+    return jnp.einsum("cehs,csh->ces", b, ry, preferred_element_type=jnp.float32)
 
 
-def _gather(stack: jax.Array, lvl: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
-    """stack (L, H0, W0); lvl (M,), iy/ix (M, S) -> (M, S)."""
-    return stack[lvl[:, None], iy, ix]
+def _describe_chunk(chunk: dict, stacks3: jax.Array, ss_statics, d_statics):
+    """Orientation + descriptor for one keypoint chunk.
 
-
-def compute_orientations(
-    kps: Keypoints,
-    lx_stack: jax.Array,
-    ly_stack: jax.Array,
-    ss_statics: ScaleSpaceStatics,
-    d_statics: DescribeStatics,
-) -> jax.Array:
-    """Dominant orientation per keypoint (SURVEY.md §2 C10), vectorized."""
-    lvl = kps.class_id
+    chunk: dict of (C,) keypoint fields; stacks3: (3, L, H0, W0) = Lt, Lx, Ly.
+    Returns (angles (C,), descriptors (C, nwords) uint32).
+    """
+    cfg = d_statics.config
+    lvl = chunk["class_id"]
     ratios = jnp.asarray(ss_statics.ratios)[lvl]
     scales = jnp.asarray(_per_level_scale(ss_statics))[lvl].astype(jnp.float32)
     widths = jnp.asarray(ss_statics.widths)[lvl]
     heights = jnp.asarray(ss_statics.heights)[lvl]
-    xf = kps.x / ratios
-    yf = kps.y / ratios
+    xf = chunk["x"] / ratios
+    yf = chunk["y"] / ratios
 
-    di = jnp.asarray(d_statics.ori_di)[None, :]  # (1, S)
+    PH, PW = d_statics.ph, d_statics.pw
+    # Patch origin: every clipped sample coordinate lands inside the patch
+    # (clip(sample, 0, dim-1) is within [origin, origin+P) for all reach
+    # cases; see d_statics patch-geometry derivation).
+    y0 = jnp.clip(_round_half_up(yf) - PH // 2, 0, jnp.maximum(heights - PH, 0))
+    x0 = jnp.clip(_round_half_up(xf) - PW // 2, 0, jnp.maximum(widths - PW, 0))
+
+    def slice_one(l, y, x):
+        return jax.lax.dynamic_slice(stacks3, (0, l, y, x), (3, 1, PH, PW))[:, 0]
+
+    patches = jax.vmap(slice_one)(lvl, y0, x0)  # (C, 3, PH, PW)
+
+    def clip_local(gy, gx):
+        """Global sample coords -> clipped patch-local int coords."""
+        iy = jnp.clip(_round_half_up(gy), 0, heights[:, None] - 1) - y0[:, None]
+        ix = jnp.clip(_round_half_up(gx), 0, widths[:, None] - 1) - x0[:, None]
+        return iy, ix
+
+    # ---------------- orientation (SURVEY.md §2 C10) ----------------
+    di = jnp.asarray(d_statics.ori_di)[None, :]
     dj = jnp.asarray(d_statics.ori_dj)[None, :]
-    ix = jnp.clip(_round_half_up(xf[:, None] + di * scales[:, None]), 0, widths[:, None] - 1)
-    iy = jnp.clip(_round_half_up(yf[:, None] + dj * scales[:, None]), 0, heights[:, None] - 1)
+    oy, ox = clip_local(
+        yf[:, None] + dj * scales[:, None], xf[:, None] + di * scales[:, None]
+    )
+    s_ori = _sample_matmul(patches[:, 1:], oy, ox)  # (C, 2, S) — Lx, Ly
     w = jnp.asarray(d_statics.ori_w)[None, :]
-    rx = w * _gather(lx_stack, lvl, iy, ix)  # (M, S)
-    ry = w * _gather(ly_stack, lvl, iy, ix)
-    ang = jnp.mod(jnp.arctan2(ry, rx), 2.0 * math.pi)  # (M, S)
+    rx = w * s_ori[:, 0]
+    ry = w * s_ori[:, 1]
+    ang = jnp.mod(jnp.arctan2(ry, rx), 2.0 * math.pi)  # (C, S)
 
-    lo = jnp.asarray(d_statics.win_lo)[None, :, None]  # (1, W, 1)
+    lo = jnp.asarray(d_statics.win_lo)[None, :, None]
     hi = jnp.asarray(d_statics.win_hi)[None, :, None]
     wrap = jnp.asarray(d_statics.win_wrap)[None, :, None]
-    a = ang[:, None, :]  # (M, 1, S)
-    inside = jnp.where(
-        wrap,
-        (a > lo) | (a < hi - 2.0 * math.pi),
-        (a > lo) & (a < hi),
-    )  # (M, W, S)
-    sum_x = jnp.sum(jnp.where(inside, rx[:, None, :], 0.0), axis=-1)  # (M, W)
+    a = ang[:, None, :]
+    inside = jnp.where(wrap, (a > lo) | (a < hi - 2.0 * math.pi), (a > lo) & (a < hi))
+    sum_x = jnp.sum(jnp.where(inside, rx[:, None, :], 0.0), axis=-1)
     sum_y = jnp.sum(jnp.where(inside, ry[:, None, :], 0.0), axis=-1)
     norm = sum_x * sum_x + sum_y * sum_y
-    best = jnp.argmax(norm, axis=-1)  # (M,)
-    m = jnp.arange(best.shape[0])
-    return jnp.mod(jnp.arctan2(sum_y[m, best], sum_x[m, best]), 2.0 * math.pi)
+    best = jnp.argmax(norm, axis=-1)
+    rows = jnp.arange(best.shape[0])
+    angle = jnp.mod(jnp.arctan2(sum_y[rows, best], sum_x[rows, best]), 2.0 * math.pi)
 
-
-def compute_descriptors(
-    kps: Keypoints,
-    lt_stack: jax.Array,
-    lx_stack: jax.Array,
-    ly_stack: jax.Array,
-    ss_statics: ScaleSpaceStatics,
-    d_statics: DescribeStatics,
-) -> jax.Array:
-    """486-bit M-LDB per keypoint, packed little-endian into uint32[M, 16]."""
-    cfg = d_statics.config
-    lvl = kps.class_id
-    ratios = jnp.asarray(ss_statics.ratios)[lvl]
-    scales = jnp.asarray(_per_level_scale(ss_statics))[lvl].astype(jnp.float32)
-    widths = jnp.asarray(ss_statics.widths)[lvl]
-    heights = jnp.asarray(ss_statics.heights)[lvl]
-    xf = kps.x / ratios
-    yf = kps.y / ratios
-    co = jnp.cos(kps.angle)
-    si = jnp.sin(kps.angle)
+    # ---------------- M-LDB descriptor (SURVEY.md §2 C11) ----------------
+    co = jnp.cos(angle)[:, None]
+    si = jnp.sin(angle)[:, None]
+    offk = jnp.asarray(d_statics.all_offk)[None, :]
+    offl = jnp.asarray(d_statics.all_offl)[None, :]
+    sy = yf[:, None] + (offl * co + offk * si) * scales[:, None]
+    sx = xf[:, None] + (-offl * si + offk * co) * scales[:, None]
+    py, px = clip_local(sy, sx)
+    s_all = _sample_matmul(patches, py, px)  # (C, 3, S_total)
+    ri = s_all[:, 0]
+    gx = s_all[:, 1]
+    gy = s_all[:, 2]
+    dx = gx * co + gy * si  # gradient channels rotated into keypoint frame
+    dy = -gx * si + gy * co
 
     bit_groups = []
     for grid in d_statics.grids:
-        offk = jnp.asarray(grid["offk"])[None, :]  # (1, S) x-ish pattern coord
-        offl = jnp.asarray(grid["offl"])[None, :]  # (1, S) y-ish pattern coord
-        # Rotated sample positions (reference rule, nearest pixel, clipped).
-        sy = yf[:, None] + (offl * co[:, None] + offk * si[:, None]) * scales[:, None]
-        sx = xf[:, None] + (-offl * si[:, None] + offk * co[:, None]) * scales[:, None]
-        iy = jnp.clip(_round_half_up(sy), 0, heights[:, None] - 1)
-        ix = jnp.clip(_round_half_up(sx), 0, widths[:, None] - 1)
-        ri = _gather(lt_stack, lvl, iy, ix)  # (M, S)
-        rx = _gather(lx_stack, lvl, iy, ix)
-        ry = _gather(ly_stack, lvl, iy, ix)
-        # Gradient channels rotated into the keypoint frame.
-        dx = rx * co[:, None] + ry * si[:, None]
-        dy = -rx * si[:, None] + ry * co[:, None]
-        onehot = jnp.asarray(grid["onehot"])  # (S, C) mean-normalized
+        mean_mat = jnp.asarray(grid["mean_mat"])  # (unique, cells)
         means = jnp.stack(
-            [ch @ onehot for ch in (ri, dx, dy)], axis=0
-        )  # (3, M, C) channel-major like the reference bit order
+            [ch @ mean_mat for ch in (ri, dx, dy)], axis=0
+        )  # (3, C, cells) channel-major like the reference bit order
         pa = jnp.asarray(grid["pa"])
         pb = jnp.asarray(grid["pb"])
-        bits = means[:, :, pa] > means[:, :, pb]  # (3, M, P)
+        bits = means[:, :, pa] > means[:, :, pb]  # (3, C, P)
         bit_groups.append(jnp.moveaxis(bits, 0, 1).reshape(bits.shape[1], -1))
-    allbits = jnp.concatenate(bit_groups, axis=-1)  # (M, 486)
+    allbits = jnp.concatenate(bit_groups, axis=-1)  # (C, 486)
 
     # Pack LSB-first into bytes, then little-endian uint32 words.
     nbytes = cfg.descriptor_bytes
@@ -187,14 +225,14 @@ def compute_descriptors(
     padded = jnp.pad(allbits.astype(jnp.uint32), ((0, 0), (0, pad)))
     bytes_ = jnp.sum(
         padded.reshape(-1, nbytes, 8) << jnp.arange(8, dtype=jnp.uint32), axis=-1
-    )  # (M, nbytes)
+    )
     wpad = nwords * 4 - nbytes
     bytes_ = jnp.pad(bytes_, ((0, 0), (0, wpad)))
     words = jnp.sum(
         bytes_.reshape(-1, nwords, 4) << jnp.arange(0, 32, 8, dtype=jnp.uint32),
         axis=-1,
     )
-    return words.astype(jnp.uint32)
+    return angle, words.astype(jnp.uint32)
 
 
 def describe(
@@ -203,15 +241,27 @@ def describe(
     ss_statics: ScaleSpaceStatics,
     d_statics: DescribeStatics,
 ) -> Features:
-    angles = compute_orientations(
-        kps, stacks["Lx"], stacks["Ly"], ss_statics, d_statics
+    """Full description stage: chunked over keypoints with lax.map."""
+    M = kps.capacity
+    C = min(d_statics.chunk, M)
+    n_chunks = (M + C - 1) // C
+    pad = n_chunks * C - M
+
+    def prep(a):
+        return jnp.pad(a, (0, pad)).reshape(n_chunks, C)
+
+    fields = {"x": prep(kps.x), "y": prep(kps.y), "class_id": prep(kps.class_id)}
+    stacks3 = jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]])
+
+    angles, descs = jax.lax.map(
+        lambda ch: _describe_chunk(ch, stacks3, ss_statics, d_statics), fields
     )
+    angles = angles.reshape(-1)[:M]
+    descs = descs.reshape(n_chunks * C, -1)[:M]
+
     kps = Keypoints(
         x=kps.x, y=kps.y, response=kps.response, size=kps.size,
         octave=kps.octave, class_id=kps.class_id, angle=angles, valid=kps.valid,
     )
-    desc = compute_descriptors(
-        kps, stacks["Lt"], stacks["Lx"], stacks["Ly"], ss_statics, d_statics
-    )
-    desc = jnp.where(kps.valid[:, None], desc, 0)
-    return Features(keypoints=kps, descriptors=desc)
+    descs = jnp.where(kps.valid[:, None], descs, 0)
+    return Features(keypoints=kps, descriptors=descs)

@@ -55,7 +55,10 @@ def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics):
     cand = (ldet > cfg.detector_threshold) & (ldet > nmax) & jnp.asarray(statics.interior)
     scores = jnp.where(cand, ldet, _NEG)
     flat = scores.reshape(statics.num_levels, -1)
-    resp, idx = jax.lax.top_k(flat, K)  # (L, K)
+    # approx_max_k: TPU-optimized partial reduction (~10x faster than exact
+    # top_k on 300k-wide rows).  Real extrema above threshold are sparse
+    # (hundreds per level), so recall at K=256 is effectively exact.
+    resp, idx = jax.lax.approx_max_k(flat, K, recall_target=0.98)  # (L, K)
     valid = resp > _NEG
     yi = idx // w0
     xi = idx % w0

@@ -22,7 +22,8 @@ from akaze_tpu.frontend.scale_space import ScaleSpaceStatics, build_scale_space
 
 @functools.lru_cache(maxsize=32)
 def _statics(width: int, height: int, config: AkazeConfig):
-    return ScaleSpaceStatics(width, height, config), DescribeStatics(config)
+    ss = ScaleSpaceStatics(width, height, config)
+    return ss, DescribeStatics(config, ss)
 
 
 def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
