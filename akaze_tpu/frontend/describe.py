@@ -109,10 +109,25 @@ class DescribeStatics:
         s_max = int(_per_level_scale(ss_statics).max())
         reach = int(math.ceil(p * s_max * math.sqrt(2.0))) + 2  # +rounding slack
         reach = max(reach, 6 * s_max + 2)  # orientation circle reach
+        self.reach = reach
         self.ph = min(_round_up(2 * reach, 8), ss_statics.h0)
         self.pw = min(_round_up(2 * reach, 64), ss_statics.w0)
         # Keypoint chunk size for lax.map (bounds live one-hot memory).
         self.chunk = 256
+
+        # --- Pallas patch geometry: HBM->VMEM DMA origins must be tile-
+        # aligned (y0 % 8 == 0, x0 % 128 == 0), so origins snap down to tile
+        # boundaries and the patch grows to keep every sample covered. ---
+        m = reach + 1  # rounding margin
+        self.pallas_h0 = _round_up(ss_statics.h0, 8)
+        self.pallas_w0 = _round_up(ss_statics.w0, 128)
+        ph = _round_up(8 + _round_up(m, 8) + m, 8)
+        if m <= 64:
+            pw = 256  # conditional block selection covers [cx-m, cx+m]
+        else:
+            pw = _round_up(128 + _round_up(m, 128) + m, 128)
+        self.pallas_ph = min(ph, self.pallas_h0)
+        self.pallas_pw = min(pw, self.pallas_w0)
 
 
 def _sample_matmul(patches: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
@@ -240,8 +255,28 @@ def describe(
     stacks: dict,
     ss_statics: ScaleSpaceStatics,
     d_statics: DescribeStatics,
+    backend: str = "xla",
 ) -> Features:
-    """Full description stage: chunked over keypoints with lax.map."""
+    """Full description stage.
+
+    backend='xla' (default): chunked one-hot-matmul pipeline below.
+    backend='pallas': fused per-keypoint kernel (kernels/describe_pallas) —
+    skips invalid slots at runtime, useful when frames carry far fewer
+    detections than the capacity.  Semantics match to within transcendental
+    rounding; both are parity-gated against the golden model.
+    """
+    if backend == "pallas":
+        from akaze_tpu.kernels.describe_pallas import describe_pallas
+
+        angles, desc = describe_pallas(kps, stacks, ss_statics, d_statics)
+        kps = Keypoints(
+            x=kps.x, y=kps.y, response=kps.response, size=kps.size,
+            octave=kps.octave, class_id=kps.class_id, angle=angles,
+            valid=kps.valid,
+        )
+        return Features(
+            keypoints=kps, descriptors=jnp.where(kps.valid[:, None], desc, 0)
+        )
     M = kps.capacity
     C = min(d_statics.chunk, M)
     n_chunks = (M + C - 1) // C
