@@ -1,0 +1,62 @@
+"""SO(3) utilities: Rodrigues rotation vectors <-> matrices, all jittable.
+
+Axis-angle (rotvec) is the BA state parametrization: minimal (3 dof), no
+normalization constraints, smooth near identity — standard for LM solvers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rotvec_to_matrix(r: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) rotation vector -> (..., 3, 3) matrix (Rodrigues).
+
+    Taylor-safe near theta = 0 (the BA increments live there)."""
+    theta2 = jnp.sum(r * r, axis=-1, keepdims=True)[..., None]  # (..., 1, 1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks.
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    zeros = jnp.zeros_like(r[..., 0])
+    k = jnp.stack(
+        [
+            jnp.stack([zeros, -r[..., 2], r[..., 1]], axis=-1),
+            jnp.stack([r[..., 2], zeros, -r[..., 0]], axis=-1),
+            jnp.stack([-r[..., 1], r[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), k.shape)
+    return eye + a * k + b * (k @ k)
+
+
+def matrix_to_rotvec(m: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation matrix -> (..., 3) rotation vector.
+
+    Stable for theta in [0, pi), and — critically for the pose-graph solver,
+    which differentiates through log at near-identity residuals — has finite
+    autodiff derivatives at theta = 0 (atan2-based angle, no arccos)."""
+    trace = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    axis_raw = jnp.stack(
+        [
+            m[..., 2, 1] - m[..., 1, 2],
+            m[..., 0, 2] - m[..., 2, 0],
+            m[..., 1, 0] - m[..., 0, 1],
+        ],
+        axis=-1,
+    )  # = 2 sin(theta) * axis
+    s2 = jnp.sum(axis_raw * axis_raw, axis=-1, keepdims=True)
+    sin_t = 0.5 * jnp.sqrt(s2 + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t[..., None])
+    small = sin_t < 1e-4
+    safe_sin = jnp.where(small, 1.0, sin_t)
+    factor = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
+    return axis_raw * factor
+
+
+def rotate(r: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotvec r (..., 3) to points x (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", rotvec_to_matrix(r), x)
