@@ -1,0 +1,47 @@
+"""Native C++ matcher parity vs the golden NumPy matcher."""
+
+import numpy as np
+import pytest
+
+from akaze_tpu import native
+from akaze_tpu.core.config import MatchConfig
+from akaze_tpu.golden import matching as gmatch
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="g++ unavailable — native matcher not built"
+)
+
+
+def _random_descs(rng, n, words=16):
+    d = rng.integers(0, 2**32, size=(n, words), dtype=np.uint32)
+    d[:, -1] &= (1 << 6) - 1
+    return d
+
+
+@pytest.mark.parametrize("mutual", [True, False])
+def test_native_matches_golden(mutual):
+    rng = np.random.default_rng(0)
+    a = _random_descs(rng, 100)
+    b = _random_descs(rng, 120)
+    b[:40] = a[:40]
+    cfg = MatchConfig(mutual=mutual)
+    gold = gmatch.match(a, b, cfg)
+    idx, dist, acc = native.match_hamming_native(
+        a, b, ratio=cfg.ratio, mutual=cfg.mutual, max_distance=cfg.max_distance
+    )
+    got = {(int(i), int(idx[i])) for i in np.nonzero(acc)[0]}
+    want = {(int(i), int(j)) for i, j in gold}
+    assert got == want
+    assert len(want) >= 35
+    # Distances agree with the brute-force matrix.
+    d = gmatch.hamming_distance_matrix(a, b)
+    np.testing.assert_array_equal(dist, d[np.arange(100), idx])
+
+
+def test_native_empty_inputs():
+    a = np.zeros((0, 16), np.uint32)
+    b = np.zeros((4, 16), np.uint32)
+    idx, dist, acc = native.match_hamming_native(a, b)
+    assert idx.shape == (0,)
+    idx, dist, acc = native.match_hamming_native(b, a)
+    assert not acc.any()
