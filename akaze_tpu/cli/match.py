@@ -32,6 +32,9 @@ def main(argv=None) -> int:
         metavar=("FX", "FY", "CX", "CY"),
         help="camera intrinsics for --pose (default: fx=fy=W, c=center)",
     )
+    p.add_argument(
+        "--viz", help="write a side-by-side match visualization image (.pgm/.png)"
+    )
     args = p.parse_args(argv)
 
     from akaze_tpu.cli.imgio import load_gray
@@ -88,6 +91,22 @@ def main(argv=None) -> int:
             "E": np.asarray(pose.E).tolist(),
             "num_inliers": int(pose.num_inliers),
         }
+
+    if args.viz:
+        from akaze_tpu.cli.viz import render_matches, save_image
+
+        ka, kb = fa.keypoints, fb.keypoints
+        va = np.asarray(ka.valid)
+        vb = np.asarray(kb.valid)
+        # Valid slots are a prefix (response-sorted top-k), so accepted match
+        # indices index the compacted arrays directly.
+        canvas = render_matches(
+            img_a, img_b,
+            np.asarray(ka.x)[va], np.asarray(ka.y)[va], np.asarray(ka.size)[va],
+            np.asarray(kb.x)[vb], np.asarray(kb.y)[vb], np.asarray(kb.size)[vb],
+            np.stack([ia, ib], axis=1) if len(ia) else np.zeros((0, 2), np.int64),
+        )
+        save_image(args.viz, canvas)
 
     text = json.dumps(out, indent=1)
     if args.output:

@@ -89,12 +89,19 @@ def run_incremental(
     rconfig: RansacConfig | None = None,
     mesh=None,
     ba_every: int = 4,
+    resume=None,
+    checkpoint_path=None,
 ) -> SfmResult:
     """Incremental SfM over tracked observations.
 
     observations: per-track dict {frame: uv (2,) normalized coords} (e.g.
     from build_tracks + keypoint lookup).  Frames are treated as keyframes
     0..num_frames-1.  Returns poses for every frame and the sparse map.
+
+    Elastic recovery (SURVEY.md §5): pass `checkpoint_path` to persist the
+    map after every BA round; pass `resume` (an SfmCheckpoint) to restart
+    from its `next_keyframe` — the per-keyframe loop is idempotent, so a
+    killed run resumes exactly where the last checkpoint left it.
     """
     sconfig = sconfig or SfmConfig()
     rconfig = rconfig or RansacConfig()
@@ -102,36 +109,45 @@ def run_incremental(
     poses = np.zeros((K, 6), np.float32)
     have_pose = np.zeros(K, bool)
 
-    # ---- two-view initialization from frames 0 and 1 ----
-    t0, t1 = 0, 1
-    pairs = [tr for tr in observations if t0 in tr and t1 in tr]
-    x1 = np.array([np.append(tr[t0], 1.0) for tr in pairs], np.float32)
-    x2 = np.array([np.append(tr[t1], 1.0) for tr in pairs], np.float32)
-    res = estimate_relative_pose(
-        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool), rconfig
-    )
-    R = np.asarray(res.R)
-    t = np.asarray(res.t)  # |t| = 1 fixes the gauge scale
-    poses[t0] = 0.0
-    poses[t1, :3] = np.asarray(matrix_to_rotvec(jnp.asarray(R)))
-    poses[t1, 3:] = t
-    have_pose[[t0, t1]] = True
+    if resume is not None:
+        start_k = resume.next_keyframe
+        kres = resume.poses.shape[0]
+        poses[:kres] = resume.poses[:K]
+        have_pose[:min(start_k, K)] = True
+        points = [p.astype(np.float32) for p in np.asarray(resume.points)]
+        track_point = dict(resume.track_point)
+    else:
+        start_k = 2
+        # ---- two-view initialization from frames 0 and 1 ----
+        t0, t1 = 0, 1
+        pairs = [tr for tr in observations if t0 in tr and t1 in tr]
+        x1 = np.array([np.append(tr[t0], 1.0) for tr in pairs], np.float32)
+        x2 = np.array([np.append(tr[t1], 1.0) for tr in pairs], np.float32)
+        res = estimate_relative_pose(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool), rconfig
+        )
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)  # |t| = 1 fixes the gauge scale
+        poses[t0] = 0.0
+        poses[t1, :3] = np.asarray(matrix_to_rotvec(jnp.asarray(R)))
+        poses[t1, 3:] = t
+        have_pose[[t0, t1]] = True
 
-    # Map: triangulate the init inliers.
-    inl = np.asarray(res.inliers)
-    pts3 = np.asarray(
-        triangulate(jnp.asarray(R), jnp.asarray(t), jnp.asarray(x1), jnp.asarray(x2))
-    )
-    track_point: Dict[int, int] = {}
-    points: List[np.ndarray] = []
-    track_ids = [i for i, tr in enumerate(observations) if t0 in tr and t1 in tr]
-    for row, ti in enumerate(track_ids):
-        if inl[row] and pts3[row, 2] > 0:
-            track_point[ti] = len(points)
-            points.append(pts3[row])
+        # Map: triangulate the init inliers.
+        inl = np.asarray(res.inliers)
+        pts3 = np.asarray(
+            triangulate(jnp.asarray(R), jnp.asarray(t), jnp.asarray(x1), jnp.asarray(x2))
+        )
+        track_point: Dict[int, int] = {}
+        points: List[np.ndarray] = []
+        track_ids = [i for i, tr in enumerate(observations) if t0 in tr and t1 in tr]
+        for row, ti in enumerate(track_ids):
+            if inl[row] and pts3[row, 2] > 0:
+                track_point[ti] = len(points)
+                points.append(pts3[row])
 
     # ---- incremental loop over the remaining keyframes ----
-    for k in range(2, K):
+    for k in range(start_k, K):
         # 2D-3D correspondences from tracks with existing points.
         ids = [
             ti for ti, tr in enumerate(observations)
@@ -189,6 +205,18 @@ def run_incremental(
             poses, points = _run_ba(
                 poses, points, observations, track_point, k + 1, sconfig, mesh
             )
+            if checkpoint_path is not None:
+                from akaze_tpu.sfm.checkpoint import SfmCheckpoint, save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path,
+                    SfmCheckpoint(
+                        poses=poses, points=np.asarray(points),
+                        track_point=track_point,
+                        keyframe_frames=list(range(k + 1)),
+                        next_keyframe=k + 1,
+                    ),
+                )
 
     return SfmResult(
         poses=poses, points=np.asarray(points),

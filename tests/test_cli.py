@@ -46,10 +46,16 @@ def test_cli_extract_json_and_npz(image_files, tmp_path):
 def test_cli_match_with_pose(image_files, tmp_path):
     a, b = image_files
     out = tmp_path / "m.json"
-    assert cli_match.main([str(a), str(b), "--pose", "-o", str(out), *_FAST]) == 0
+    viz = tmp_path / "viz.pgm"
+    assert cli_match.main(
+        [str(a), str(b), "--pose", "-o", str(out), "--viz", str(viz), *_FAST]
+    ) == 0
     m = json.loads(out.read_text())
     assert m["num_matches"] > 5
     assert len(m["pose"]["R"]) == 3
+    canvas = load_gray(viz)
+    assert canvas.shape == (120, 320)  # side-by-side
+    assert canvas.max() == 1.0  # overlay marks present
 
 
 def test_cli_sequence(tmp_path):
