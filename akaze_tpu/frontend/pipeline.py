@@ -26,13 +26,51 @@ def _statics(width: int, height: int, config: AkazeConfig):
     return ss, DescribeStatics(config, ss)
 
 
+def _use_pallas_scale_space() -> bool:
+    """Fused Pallas scale-space kernel on real TPU; portable XLA elsewhere
+    (tests run the XLA path on CPU; kernels/fed_pallas has its own
+    interpret-mode parity tests)."""
+    return jax.default_backend() == "tpu"
+
+
 def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
     """Pure (traceable) single-image pipeline; shape/config must be static."""
     height, width = img.shape[-2], img.shape[-1]
     ss_statics, d_statics = _statics(width, height, config)
-    stacks = build_scale_space(img, ss_statics)
-    kps = detect(stacks["Ldet"], ss_statics)
-    return describe(kps, stacks, ss_statics, d_statics)
+    # named_scope: stage boundaries show up in jax.profiler traces
+    # (SURVEY.md §5 tracing row).
+    with jax.named_scope("akaze_scale_space"):
+        if _use_pallas_scale_space():
+            from akaze_tpu.kernels.fed_pallas import build_scale_space_pallas
+
+            stacks = build_scale_space_pallas(img, ss_statics)
+        else:
+            stacks = build_scale_space(img, ss_statics)
+    with jax.named_scope("akaze_detect"):
+        kps = detect(stacks["Ldet"], ss_statics)
+    with jax.named_scope("akaze_describe"):
+        return describe(kps, stacks, ss_statics, d_statics)
+
+
+def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
+    """Traceable batched pipeline: the scale space runs with the frame batch
+    on the Pallas grid natively (one program per frame per level); detection
+    and description vmap over the batch."""
+    height, width = imgs.shape[-2], imgs.shape[-1]
+    ss_statics, d_statics = _statics(width, height, config)
+    with jax.named_scope("akaze_scale_space"):
+        if _use_pallas_scale_space():
+            from akaze_tpu.kernels.fed_pallas import build_scale_space_pallas_batched
+
+            stacks = build_scale_space_pallas_batched(imgs, ss_statics)
+        else:
+            stacks = jax.vmap(lambda im: build_scale_space(im, ss_statics))(imgs)
+    with jax.named_scope("akaze_detect"):
+        kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
+    with jax.named_scope("akaze_describe"):
+        return jax.vmap(
+            lambda k, s: describe(k, s, ss_statics, d_statics)
+        )(kps, stacks)
 
 
 @functools.lru_cache(maxsize=32)
@@ -56,7 +94,7 @@ def extract(img, config: AkazeConfig | None = None) -> Features:
 def _compiled_extract_batch(config: AkazeConfig):
     @jax.jit
     def run(imgs):
-        return jax.vmap(lambda im: extract_fn(im, config))(imgs)
+        return extract_batch_fn(imgs, config)
 
     return run
 

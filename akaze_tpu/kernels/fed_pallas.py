@@ -1,0 +1,227 @@
+"""Fused Pallas scale-space kernel: one program per (frame, level).
+
+SURVEY.md §3.2 / §7.3 headline kernel: the XLA path streams Lt/g to HBM on
+every FED tau sweep (~46 sweeps x 3 arrays per frame); this kernel keeps the
+whole level in VMEM and runs the complete per-level chain in one pass:
+
+    seed Lt (prev level, VMEM)
+      -> Lsmooth = G_{1.0} * Lt            (separable 5-tap, VMEM)
+      -> g = diffusivity(scharr grad Lsmooth, k)
+      -> n_tau explicit diffusion sweeps   (all VMEM-resident)
+      -> detector chain: sigma_size-scaled Scharr cascade -> Lx, Ly, Ldet
+
+HBM traffic per level drops from O(n_tau) full-image round trips to exactly
+one read (seed) + four writes (Lt, Lx, Ly, Ldet) — the GPGPU-KAZE fusion
+(PAPERS.md) done the TPU way.  A VGA octave-0 level is 1.2 MB, so the ~6
+working arrays fit VMEM comfortably; deeper octaves are smaller.
+
+Numerics are the same f32 shift-and-add formulas as frontend/scale_space
+(parity-gated against the golden model like every other stage).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from akaze_tpu.core.config import AkazeConfig, Diffusivity
+from akaze_tpu.core.fed import EvolutionSpec
+from akaze_tpu.golden.image import gaussian_kernel, scharr_kernels
+
+
+def _edge_pad(x: jax.Array, hy: int, hx: int) -> jax.Array:
+    """Replicate-pad a (H, W) VMEM value (jnp.pad(mode='edge') does not
+    lower in Mosaic; explicit edge-slice concats do)."""
+    if hy:
+        x = jnp.concatenate([x[:1]] * hy + [x] + [x[-1:]] * hy, axis=0)
+    if hx:
+        x = jnp.concatenate([x[:, :1]] * hx + [x] + [x[:, -1:]] * hx, axis=1)
+    return x
+
+
+def _sep_conv(x: jax.Array, ky: np.ndarray, kx: np.ndarray) -> jax.Array:
+    """Separable correlation with edge padding on a (H, W) VMEM value."""
+    h, w = x.shape
+    hy = len(ky) // 2
+    xp = _edge_pad(x, hy, 0)
+    acc = None
+    for t, wgt in enumerate(np.asarray(ky, np.float32)):
+        if wgt == 0.0:
+            continue
+        term = wgt * xp[t : t + h, :]
+        acc = term if acc is None else acc + term
+    hx = len(kx) // 2
+    xp = _edge_pad(acc, 0, hx)
+    acc = None
+    for t, wgt in enumerate(np.asarray(kx, np.float32)):
+        if wgt == 0.0:
+            continue
+        term = wgt * xp[:, t : t + w]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _scharr(x: jax.Array, x_order: int, sigma_size: int) -> jax.Array:
+    deriv, smooth = scharr_kernels(sigma_size)
+    if x_order == 1:
+        return _sep_conv(x, smooth, deriv)
+    return _sep_conv(x, deriv, smooth)
+
+
+def _conductivity(lx, ly, k, kind: Diffusivity):
+    grad2 = (lx * lx + ly * ly) / (k * k)
+    if kind == Diffusivity.PM_G2:
+        return 1.0 / (1.0 + grad2)
+    if kind == Diffusivity.PM_G1:
+        return jnp.exp(-grad2)
+    if kind == Diffusivity.WEICKERT:
+        g2_4 = grad2 * grad2
+        g2_4 = g2_4 * g2_4
+        safe = jnp.where(g2_4 > 0, g2_4, 1.0)
+        return jnp.where(grad2 > 0.0, 1.0 - jnp.exp(-3.315 / safe), 1.0)
+    raise AssertionError(kind)
+
+
+def _diffusion_step(lt, g, tau):
+    lp = _edge_pad(lt, 1, 1)
+    gp = _edge_pad(g, 1, 1)
+    c, cg = lp[1:-1, 1:-1], gp[1:-1, 1:-1]
+    step = (
+        (cg + gp[1:-1, 2:]) * (lp[1:-1, 2:] - c)
+        + (cg + gp[1:-1, :-2]) * (lp[1:-1, :-2] - c)
+        + (cg + gp[2:, 1:-1]) * (lp[2:, 1:-1] - c)
+        + (cg + gp[:-2, 1:-1]) * (lp[:-2, 1:-1] - c)
+    )
+    return lt + jnp.float32(0.5 * tau) * step
+
+
+def _detector_chain(lsmooth, sigma_size):
+    s = sigma_size
+    lx = _scharr(lsmooth, 1, s)
+    ly = _scharr(lsmooth, 0, s)
+    lxx = _scharr(lx, 1, s)
+    lyy = _scharr(ly, 0, s)
+    lxy = _scharr(lx, 0, s)
+    sf = jnp.float32(s)
+    s2 = jnp.float32(s * s)
+    ldet = (lxx * s2) * (lyy * s2) - (lxy * s2) * (lxy * s2)
+    return lx * sf, ly * sf, ldet
+
+
+def _level_kernel(k_ref, seed_ref, lt_out, lx_out, ly_out, ldet_out,
+                  *, taus, sigma_size, diffusivity, first_level):
+    """One (frame, level) program: full fused level chain in VMEM.
+    k_ref: scalar-prefetch (B,) contrast factors in SMEM."""
+    x = seed_ref[0]
+    if first_level:
+        # Level 0: seed is already G_{sigma0} * img; Lsmooth == Lt, no FED.
+        lsmooth = x
+    else:
+        g1k = gaussian_kernel(1.0)
+        lsmooth = _sep_conv(x, g1k, g1k)
+        gx = _scharr(lsmooth, 1, 1)
+        gy = _scharr(lsmooth, 0, 1)
+        g = _conductivity(gx, gy, k_ref[pl.program_id(0)], diffusivity)
+        for tau in taus:  # static unroll, all VMEM-resident
+            x = _diffusion_step(x, g, tau)
+    lt_out[0] = x
+    lx, ly, ldet = _detector_chain(lsmooth, sigma_size)
+    lx_out[0] = lx
+    ly_out[0] = ly
+    ldet_out[0] = ldet
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "diffusivity", "first_level")
+)
+def fused_level_batched(seed, k, spec: EvolutionSpec, diffusivity: Diffusivity,
+                        first_level: bool = False):
+    """Run one level for a batch of frames: grid = one program per frame.
+
+    seed (B, H, W): level-0 blurred images (first_level) or the previous
+    level's Lt (already half-sized at octave changes); k (B,): per-frame
+    contrast factors.  Returns (lt, lx, ly, ldet), each (B, H, W)."""
+    b, h, w = seed.shape
+    kernel = functools.partial(
+        _level_kernel,
+        taus=spec.taus,
+        sigma_size=spec.sigma_size,
+        diffusivity=diffusivity,
+        first_level=first_level,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # per-frame contrast factors, SMEM
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 4,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * 4,
+        # 5 double-buffered (1, H, W) windows + the VMEM-resident working
+        # set slightly exceed the 16 MB default scoped-vmem budget at VGA;
+        # v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(k.reshape(b).astype(jnp.float32), seed)
+
+
+def fused_level(seed, k, spec, diffusivity, first_level=False):
+    """Single-frame convenience wrapper over fused_level_batched."""
+    lt, lx, ly, ldet = fused_level_batched(
+        seed[None], k.reshape(1), spec, diffusivity, first_level
+    )
+    return lt[0], lx[0], ly[0], ldet[0]
+
+
+def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
+    """Batched drop-in for frontend.scale_space.build_scale_space on
+    (B, H, W) frames; same stacked (B, L, H0, W0) output contract.
+
+    The batch rides the pallas grid natively (one program per frame per
+    level) rather than jax.vmap — this environment's remote Mosaic compiler
+    rejects the vmap-generated variant at B >= 8."""
+    from akaze_tpu.frontend.scale_space import (
+        compute_contrast_factor, gaussian_blur, half_size, stack_levels,
+    )
+
+    config = statics.config
+    specs = statics.specs
+    k = jax.vmap(lambda im: compute_contrast_factor(im, config))(imgs)  # (B,)
+    seed = gaussian_blur(imgs.astype(jnp.float32), config.base_scale_offset)
+    lts, lxs, lys, ldets = [], [], [], []
+    for i, spec in enumerate(specs):
+        if i > 0:
+            if spec.octave > specs[i - 1].octave:
+                seed = half_size(lts[-1])
+                k = k * config.contrast_octave_decay
+            else:
+                seed = lts[-1]
+        lt, lx, ly, ldet = fused_level_batched(
+            seed, k, spec, config.diffusivity, first_level=(i == 0)
+        )
+        lts.append(lt)
+        lxs.append(lx)
+        lys.append(ly)
+        ldets.append(ldet)
+    return {
+        "Lt": stack_levels(lts, specs),
+        "Lx": stack_levels(lxs, specs),
+        "Ly": stack_levels(lys, specs),
+        "Ldet": stack_levels(ldets, specs),
+    }
+
+
+def build_scale_space_pallas(img: jax.Array, statics) -> dict:
+    """Single-frame wrapper over the batched builder."""
+    out = build_scale_space_pallas_batched(img[None], statics)
+    return jax.tree.map(lambda a: a[0], out)

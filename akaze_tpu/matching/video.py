@@ -21,7 +21,7 @@ import numpy as np
 
 from akaze_tpu.core.config import AkazeConfig, MatchConfig, SfmConfig
 from akaze_tpu.core.types import Features
-from akaze_tpu.frontend.pipeline import extract_fn
+from akaze_tpu.frontend.pipeline import extract_batch_fn
 from akaze_tpu.matching.hamming import Matches, match_fn
 
 
@@ -41,7 +41,7 @@ def _compiled_video_step(config: AkazeConfig, mconfig: MatchConfig):
     def step(frames, prev_desc, prev_valid):
         """frames (B, H, W); prev_*: features of the frame before this batch.
         Returns features and per-frame Matches against the previous frame."""
-        feats = jax.vmap(lambda im: extract_fn(im, config))(frames)
+        feats = extract_batch_fn(frames, config)
         desc = jnp.concatenate([prev_desc[None], feats.descriptors[:-1]], axis=0)
         val = jnp.concatenate([prev_valid[None], feats.keypoints.valid[:-1]], axis=0)
         matches = jax.vmap(

@@ -24,7 +24,7 @@ BASELINE_FPS = 10.0  # reference single-core order of magnitude (BASELINE.md)
 
 def main() -> None:
     from akaze_tpu.core.config import AkazeConfig, MatchConfig
-    from akaze_tpu.frontend.pipeline import extract_fn
+    from akaze_tpu.frontend.pipeline import extract_batch_fn
     from akaze_tpu.matching.hamming import match_fn
     from akaze_tpu.utils.synthetic import video_sequence
 
@@ -35,7 +35,7 @@ def main() -> None:
 
     @jax.jit
     def step(imgs):
-        feats = jax.vmap(lambda im: extract_fn(im, config))(imgs)
+        feats = extract_batch_fn(imgs, config)
         kp = feats.keypoints
         # Sequential matching of consecutive frames (video front-end shape).
         m = jax.vmap(lambda da, va, db, vb: match_fn(da, va, db, vb, mcfg))(
