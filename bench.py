@@ -1,17 +1,19 @@
-"""Headline benchmark: AKAZE detect+describe+match, 640x480, frames/s/chip.
+"""Benchmarks for the BASELINE.md configs.
 
-Protocol (BASELINE.md config 1+2): batched front-end extraction on B VGA
-frames + Hamming matching of consecutive frame pairs, steady-state timed
-after compile warmup.  Baseline = 10 frames/s, the canonical single-core CPU
-AKAZE order of magnitude (BASELINE.md: the reference publishes no numbers and
-the mount was empty; Alcantarilla et al. BMVC 2013 timing tables give
-~7-20 fps on VGA single-core).  Target: >= 10x baseline per chip.
+Default (driver protocol): ONE JSON line — the headline metric, AKAZE
+detect+describe+match at 640x480, frames/s on the current accelerator.
+Baseline = 10 frames/s, the canonical single-core CPU AKAZE order of
+magnitude (BASELINE.md: the reference publishes no numbers and the mount
+was empty; Alcantarilla et al. BMVC 2013 gives ~7-20 fps VGA single-core).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`python bench.py --all` additionally reports configs 2-5 (two-view pose,
+conductivity variants, 500-frame video front-end, mini SfM with BA), one
+JSON line each.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -22,7 +24,15 @@ import numpy as np
 BASELINE_FPS = 10.0  # reference single-core order of magnitude (BASELINE.md)
 
 
-def main() -> None:
+def _emit(metric, value, unit, vs_baseline=None):
+    rec = {"metric": metric, "value": round(float(value), 2), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(float(vs_baseline), 2)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_headline() -> None:
+    """Config 1+2 core: batched detect+describe + consecutive matching."""
     from akaze_tpu.core.config import AkazeConfig, MatchConfig
     from akaze_tpu.frontend.pipeline import extract_batch_fn
     from akaze_tpu.matching.hamming import match_fn
@@ -37,34 +47,142 @@ def main() -> None:
     def step(imgs):
         feats = extract_batch_fn(imgs, config)
         kp = feats.keypoints
-        # Sequential matching of consecutive frames (video front-end shape).
         m = jax.vmap(lambda da, va, db, vb: match_fn(da, va, db, vb, mcfg))(
             feats.descriptors[:-1], kp.valid[:-1],
             feats.descriptors[1:], kp.valid[1:],
         )
         return feats.keypoints.count(), m.count()
 
-    # Warmup / compile.
-    counts, mcounts = jax.block_until_ready(step(frames))
+    jax.block_until_ready(step(frames))  # compile
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         out = step(frames)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = batch * reps / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "akaze_vga_detect_describe_match_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
-        )
+    fps = batch * reps / (time.perf_counter() - t0)
+    _emit(
+        "akaze_vga_detect_describe_match_fps", fps, "frames/s", fps / BASELINE_FPS
     )
-    # Diagnostics on stderr-like secondary lines are avoided: one JSON line only.
+
+
+def bench_two_view() -> None:
+    """Config 2: full two-view pipeline incl. RANSAC essential pose."""
+    from akaze_tpu.core.config import AkazeConfig, MatchConfig, RansacConfig
+    from akaze_tpu.frontend.pipeline import extract_batch_fn
+    from akaze_tpu.geometry.twoview import estimate_relative_pose_fn, normalize_points
+    from akaze_tpu.matching.hamming import match_fn
+    from akaze_tpu.utils.synthetic import video_sequence
+
+    config = AkazeConfig()
+    mcfg = MatchConfig()
+    rcfg = RansacConfig(num_iterations=256)
+    pair = jnp.asarray(video_sequence(2, 480, 640, seed=1))
+    intr = (640.0, 640.0, 320.0, 240.0)
+
+    @jax.jit
+    def step(imgs):
+        feats = extract_batch_fn(imgs, config)
+        kp = feats.keypoints
+        m = match_fn(
+            feats.descriptors[0], kp.valid[0], feats.descriptors[1], kp.valid[1], mcfg
+        )
+        x1 = normalize_points(kp.x[0], kp.y[0], intr)
+        x2 = normalize_points(kp.x[1][m.idx_b], kp.y[1][m.idx_b], intr)
+        pose = estimate_relative_pose_fn(x1, x2, m.accepted, jax.random.PRNGKey(0), rcfg)
+        return pose.num_inliers
+
+    jax.block_until_ready(step(pair))
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(pair)
+    jax.block_until_ready(out)
+    pps = reps / (time.perf_counter() - t0)
+    _emit("two_view_pose_pairs_per_s", pps, "pairs/s")
+
+
+def bench_conductivity() -> None:
+    """Config 3: g1 / Weickert variants, headline-shaped throughput."""
+    from akaze_tpu.core.config import AkazeConfig, Diffusivity
+    from akaze_tpu.frontend.pipeline import extract_batch_fn
+    from akaze_tpu.utils.synthetic import video_sequence
+
+    frames = jnp.asarray(video_sequence(8, 480, 640, seed=0))
+    for diff in (Diffusivity.PM_G1, Diffusivity.WEICKERT):
+        config = AkazeConfig(diffusivity=diff)
+        f = jax.jit(lambda im, c=config: extract_batch_fn(im, c).keypoints.count())
+        jax.block_until_ready(f(frames))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = f(frames)
+        jax.block_until_ready(out)
+        fps = 8 * 3 / (time.perf_counter() - t0)
+        _emit(f"akaze_vga_fps_{diff.value}", fps, "frames/s", fps / BASELINE_FPS)
+
+
+def bench_video(num_frames: int = 500) -> None:
+    """Config 4: video front-end with sequential matching + keyframes."""
+    from akaze_tpu.core.config import AkazeConfig
+    from akaze_tpu.matching.video import process_video
+    from akaze_tpu.utils.synthetic import video_sequence
+
+    frames = video_sequence(num_frames, 480, 640, seed=0)
+    cfg = AkazeConfig()
+    # Warm the compiled step on a small prefix.
+    process_video(frames[:16], cfg, batch=16)
+    t0 = time.perf_counter()
+    res = process_video(frames, cfg, batch=16)
+    dt = time.perf_counter() - t0
+    _emit("video_frontend_fps_500", num_frames / dt, "frames/s",
+          num_frames / dt / BASELINE_FPS)
+
+
+def bench_sfm(num_keyframes: int = 50) -> None:
+    """Config 5: mini incremental SfM, 50 keyframes, periodic BA."""
+    from akaze_tpu.core.config import RansacConfig, SfmConfig
+    from akaze_tpu.sfm.incremental import run_incremental
+    from akaze_tpu.sfm.metrics import ate_rmse, camera_centers
+    from akaze_tpu.sfm.rotations import rotvec_to_matrix
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([-4, -3, 8], [4, 3, 20], (600, 3))
+    poses = np.zeros((num_keyframes, 6), np.float32)
+    for k in range(num_keyframes):
+        poses[k, :3] = [0.0, 0.02 * k, 0.0]
+        poses[k, 3:] = [-0.15 * k, 0.005 * k, 0.02 * k]
+    observations = []
+    for p in range(len(pts)):
+        tr = {}
+        for k in range(num_keyframes):
+            r = np.asarray(rotvec_to_matrix(jnp.asarray(poses[k, :3])))
+            xc = r @ pts[p] + poses[k, 3:]
+            if xc[2] > 0.1:
+                uv = xc[:2] / xc[2]
+                if np.abs(uv).max() < 0.6:
+                    tr[k] = (uv + rng.normal(0, 5e-4, 2)).astype(np.float32)
+        if len(tr) >= 2:
+            observations.append(tr)
+    t0 = time.perf_counter()
+    res = run_incremental(
+        observations, num_keyframes, SfmConfig(ba_iterations=8),
+        RansacConfig(num_iterations=256, inlier_threshold=5e-3), ba_every=8,
+    )
+    dt = time.perf_counter() - t0
+    ate = ate_rmse(camera_centers(res.poses), camera_centers(poses))
+    _emit("sfm_50kf_keyframes_per_s", num_keyframes / dt, "keyframes/s")
+    _emit("sfm_50kf_ate", ate, "scene_units")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--all", action="store_true", help="run BASELINE configs 2-5 too")
+    args = p.parse_args()
+    bench_headline()
+    if args.all:
+        bench_two_view()
+        bench_conductivity()
+        bench_video()
+        bench_sfm()
 
 
 if __name__ == "__main__":
