@@ -68,6 +68,9 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
     with jax.named_scope("akaze_detect"):
         kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):
+        # vmapped describe beats the chunk-skipping lax.map variant
+        # (describe_batched) on batch-16 VGA: the map's sequential steps
+        # underutilize the chip more than the dead-chunk skip saves.
         return jax.vmap(
             lambda k, s: describe(k, s, ss_statics, d_statics)
         )(kps, stacks)

@@ -110,7 +110,14 @@ def bench_conductivity() -> None:
     frames = jnp.asarray(video_sequence(8, 480, 640, seed=0))
     for diff in (Diffusivity.PM_G1, Diffusivity.WEICKERT):
         config = AkazeConfig(diffusivity=diff)
-        f = jax.jit(lambda im, c=config: extract_batch_fn(im, c).keypoints.count())
+
+        def f_impl(im, c=config):
+            feats = extract_batch_fn(im, c)
+            # Descriptor checksum keeps the describe stage live (counts
+            # alone would let XLA dead-code-eliminate it).
+            return feats.keypoints.count(), jnp.sum(feats.descriptors)
+
+        f = jax.jit(f_impl)
         jax.block_until_ready(f(frames))
         t0 = time.perf_counter()
         for _ in range(3):

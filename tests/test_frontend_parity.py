@@ -102,3 +102,36 @@ def test_extract_deterministic(small_image):
     b = extract(small_image)
     assert np.array_equal(np.asarray(a.descriptors), np.asarray(b.descriptors))
     assert np.array_equal(np.asarray(a.keypoints.x), np.asarray(b.keypoints.x))
+
+
+def test_describe_batched_matches_vmapped(small_image):
+    """The chunk-skipping lax.map describe variant == the vmapped path."""
+    import jax
+    import jax.numpy as jnp
+
+    from akaze_tpu.frontend.describe import (
+        DescribeStatics, describe, describe_batched,
+    )
+    from akaze_tpu.frontend.detect import detect
+    from akaze_tpu.frontend.scale_space import ScaleSpaceStatics, build_scale_space
+
+    cfg = AkazeConfig(max_keypoints=64)
+    st = ScaleSpaceStatics(small_image.shape[1], small_image.shape[0], cfg)
+    dst = DescribeStatics(cfg, st)
+    imgs = jnp.stack(
+        [jnp.asarray(small_image), jnp.asarray(textured_scene(*small_image.shape, seed=9))]
+    )
+    stacks = jax.jit(lambda im: jax.vmap(lambda x: build_scale_space(x, st))(im))(imgs)
+    kps = jax.jit(lambda ld: jax.vmap(lambda x: detect(x, st))(ld))(stacks["Ldet"])
+    ref = jax.jit(
+        lambda k, s: jax.vmap(lambda kk, ss: describe(kk, ss, st, dst))(k, s)
+    )(kps, stacks)
+    got = jax.jit(lambda k, s: describe_batched(k, s, st, dst))(kps, stacks)
+    valid = np.asarray(kps.valid)
+    assert np.array_equal(
+        np.asarray(got.descriptors)[valid], np.asarray(ref.descriptors)[valid]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.keypoints.angle)[valid],
+        np.asarray(ref.keypoints.angle)[valid], atol=1e-6,
+    )
