@@ -67,7 +67,10 @@ def process_video(
     # would mask scene cuts from the keyframe logic.
     mconfig = mconfig or MatchConfig(max_distance=120)
     sconfig = sconfig or SfmConfig()
-    frames = np.asarray(frames, np.float32)
+    # One host->device transfer up front; per-step chunks are DEVICE slices.
+    # (Feeding numpy chunks would re-upload every batch — on a tunneled
+    # accelerator that transfer dominates the whole pipeline.)
+    frames = jnp.asarray(np.asarray(frames, np.float32))
     T = frames.shape[0]
     step = _compiled_video_step(config, mconfig)
 
@@ -78,8 +81,10 @@ def process_video(
         chunk = frames[t0 : t0 + batch]
         if chunk.shape[0] < batch:  # pad the tail to the compiled batch size
             pad = batch - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-        feats, matches = step(jnp.asarray(chunk), prev_desc, prev_valid)
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
+            )
+        feats, matches = step(chunk, prev_desc, prev_valid)
         feats_list.append(feats)
         matches_list.append(matches)
         prev_desc = feats.descriptors[min(batch, T - t0) - 1]
