@@ -43,7 +43,7 @@ def _neighbor_max_3x3(ldet: jax.Array) -> jax.Array:
     return out
 
 
-def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics):
+def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None):
     """Per-level top-K strict 3x3 maxima above threshold.
 
     Returns dict of (L, K) arrays: resp, yi, xi (level-pixel ints), valid.
@@ -51,9 +51,17 @@ def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics):
     cfg = statics.config
     K = cfg.per_level_candidates
     w0 = statics.w0
-    nmax = _neighbor_max_3x3(ldet)
-    cand = (ldet > cfg.detector_threshold) & (ldet > nmax) & jnp.asarray(statics.interior)
-    scores = jnp.where(cand, ldet, _NEG)
+    if scores is None:
+        # Portable XLA score construction.  The batched pipeline passes
+        # precomputed scores from kernels/detect_pallas instead (the fused
+        # kernel must ride a native grid, not jax.vmap — see that module).
+        nmax = _neighbor_max_3x3(ldet)
+        cand = (
+            (ldet > cfg.detector_threshold)
+            & (ldet > nmax)
+            & jnp.asarray(statics.interior)
+        )
+        scores = jnp.where(cand, ldet, _NEG)
     flat = scores.reshape(statics.num_levels, -1)
     # approx_max_k: TPU-optimized partial reduction (~10x faster than exact
     # top_k on 300k-wide rows).  Real extrema above threshold are sparse
@@ -140,10 +148,10 @@ def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
     return xf, yf, keep
 
 
-def detect(ldet: jax.Array, statics: ScaleSpaceStatics) -> Keypoints:
+def detect(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None) -> Keypoints:
     """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA."""
     cfg = statics.config
-    cand = find_candidates(ldet, statics)
+    cand = find_candidates(ldet, statics, scores)
     cand["valid"] = cross_level_nms(cand, statics)
     xf, yf, keep = subpixel_refine(cand, ldet, statics)
     valid = cand["valid"] & keep

@@ -66,7 +66,17 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
         else:
             stacks = jax.vmap(lambda im: build_scale_space(im, ss_statics))(imgs)
     with jax.named_scope("akaze_detect"):
-        kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
+        if _use_pallas_scale_space():
+            # Fused score kernel on a native (B*L) grid; candidate selection
+            # and NMS then vmap over the precomputed scores.
+            from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
+
+            scores = detect_scores_pallas(stacks["Ldet"], ss_statics)
+            kps = jax.vmap(lambda ld, sc: detect(ld, ss_statics, sc))(
+                stacks["Ldet"], scores
+            )
+        else:
+            kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):
         # vmapped describe beats the chunk-skipping lax.map variant
         # (describe_batched) on batch-16 VGA: the map's sequential steps
