@@ -156,11 +156,18 @@ def run_incremental(
         if len(ids) >= 6:
             p3 = np.array([points[track_point[ti]] for ti in ids], np.float32)
             uv = np.array([observations[ti][k] for ti in ids], np.float32)
+            # Bucket-pad (zero-weight) so repeated PnP calls share compiles.
+            n = len(ids)
+            bucket = max(64, 1 << (n - 1).bit_length())
+            w = np.zeros(bucket, np.float32)
+            w[:n] = 1.0
+            p3 = np.pad(p3, ((0, bucket - n), (0, 0)), constant_values=1.0)
+            uv = np.pad(uv, ((0, bucket - n), (0, 0)))
             pose0 = poses[k - 1]  # warm start from the previous keyframe
             poses[k] = np.asarray(
                 refine_pose_pnp(
                     jnp.asarray(pose0), jnp.asarray(p3), jnp.asarray(uv),
-                    jnp.ones(len(ids), jnp.float32),
+                    jnp.asarray(w),
                 )
             )
             have_pose[k] = True
@@ -244,11 +251,14 @@ def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
     fixed[0] = True
     fixed[1] = True  # gauge: origin + scale
     fixed[num_kf:] = True  # untouched future slots
-    # Pad points to a multiple of the mesh size for sharding.
-    pad = 0
+    # Bucket-pad the point count (next power of two) so the growing map
+    # reuses compiled BA executables instead of recompiling every call,
+    # and round up to the mesh size for sharding.
+    bucket = max(64, 1 << (P - 1).bit_length())
     if mesh is not None:
         n = int(np.prod([d for d in mesh.devices.shape]))
-        pad = (-P) % n
+        bucket = ((bucket + n - 1) // n) * n
+    pad = bucket - P
     if pad:
         obs_cam = np.pad(obs_cam, ((0, pad), (0, 0)))
         obs_uv = np.pad(obs_uv, ((0, pad), (0, 0), (0, 0)))
