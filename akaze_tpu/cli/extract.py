@@ -29,7 +29,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
         choices=[d.value for d in Diffusivity],
         default=Diffusivity.PM_G2.value,
     )
-    p.add_argument("--max-keypoints", type=int, default=2048)
+    # Default matches the library default (core/config.py AkazeConfig) so CLI
+    # and library extract identical feature sets on the same image.
+    p.add_argument(
+        "--max-keypoints", type=int, default=AkazeConfig.max_keypoints
+    )
 
 
 def main(argv=None) -> int:

@@ -108,7 +108,7 @@ def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
             qx = shift(x0, d, 0.0)
             qy = shift(y0, d, 0.0)
             qresp = shift(resp, d, _NEG)
-            qtie = shift(tie, d, jnp.int64(0))
+            qtie = shift(tie, d, jnp.int32(0))
             qvalid = shift(valid, d, False)
         dx = x0[:, :, None] - qx[:, None, :]
         dy = y0[:, :, None] - qy[:, None, :]

@@ -62,13 +62,6 @@ def _sampson_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     return err * err / jnp.maximum(denom, 1e-12)
 
 
-def _compact_valid(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Indices of valid slots moved to the front (stable), and the count."""
-    n = mask.shape[0]
-    order = jnp.argsort(jnp.logical_not(mask), stable=True)
-    return order, jnp.sum(mask.astype(jnp.int32))
-
-
 def estimate_relative_pose_fn(
     x1: jax.Array,  # (N, 3) homogeneous normalized coords, frame 1
     x2: jax.Array,  # (N, 3) frame 2
@@ -78,12 +71,15 @@ def estimate_relative_pose_fn(
 ) -> TwoViewResult:
     """Traceable RANSAC essential + cheirality-tested pose recovery."""
     n = x1.shape[0]
-    order, count = _compact_valid(mask)
-    safe_count = jnp.maximum(count, 8)
 
-    # --- hypotheses: uniform 8-samples over the valid prefix ---
-    u = jax.random.uniform(key, (config.num_iterations, config.sample_size))
-    idx = order[jnp.floor(u * safe_count).astype(jnp.int32)]
+    # --- hypotheses: distinct uniform 8-subsets of the valid slots ---
+    # Per hypothesis, rank random scores and take the top sample_size: a
+    # uniformly random subset with NO duplicate correspondences (independent
+    # draws can repeat an index, yielding a degenerate 8-point system that
+    # wastes the iteration — worst exactly when few matches survive).
+    g = jax.random.uniform(key, (config.num_iterations, n))
+    g = jnp.where(mask[None, :], g, -1.0)  # invalid slots rank last
+    _, idx = jax.lax.top_k(g, config.sample_size)  # (H, sample_size)
     E_h = _essential_from_8pt(x1[idx], x2[idx])  # (H, 3, 3)
 
     # --- score all hypotheses against all correspondences ---

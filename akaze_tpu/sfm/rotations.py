@@ -35,9 +35,12 @@ def rotvec_to_matrix(r: jnp.ndarray) -> jnp.ndarray:
 def matrix_to_rotvec(m: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) rotation matrix -> (..., 3) rotation vector.
 
-    Stable for theta in [0, pi), and — critically for the pose-graph solver,
-    which differentiates through log at near-identity residuals — has finite
-    autodiff derivatives at theta = 0 (atan2-based angle, no arccos)."""
+    Stable over the full range [0, pi] — including theta ~ pi, where the
+    skew-part axis vanishes and the axis is recovered from the symmetric
+    part (M + I)/2 ~ axis axis^T instead — and, critically for the
+    pose-graph solver, which differentiates through log at near-identity
+    residuals, has finite autodiff derivatives at theta = 0 (atan2-based
+    angle, no arccos)."""
     trace = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     axis_raw = jnp.stack(
@@ -54,7 +57,28 @@ def matrix_to_rotvec(m: jnp.ndarray) -> jnp.ndarray:
     small = sin_t < 1e-4
     safe_sin = jnp.where(small, 1.0, sin_t)
     factor = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
-    return axis_raw * factor
+    generic = axis_raw * factor
+
+    # theta ~ pi: axis_raw -> 0 and the generic path collapses toward zero.
+    # There M = 2 axis axis^T - I, so (M + M^T + 2I)/4 = axis axis^T up to
+    # O((pi-theta)^2) — symmetrizing first cancels the O(pi-theta) skew term.
+    # Take the largest-diagonal column, normalize, and sign-align with
+    # axis_raw for continuity just below pi (at exactly pi the sign is a
+    # gauge choice).
+    b = 0.25 * (m + jnp.swapaxes(m, -1, -2)) + 0.5 * jnp.eye(3, dtype=m.dtype)
+    diag = jnp.stack([b[..., 0, 0], b[..., 1, 1], b[..., 2, 2]], axis=-1)
+    pick = (jnp.argmax(diag, axis=-1)[..., None] == jnp.arange(3)).astype(m.dtype)
+    col = jnp.einsum("...ij,...j->...i", b, pick)
+    axis_pi = col / jnp.sqrt(
+        jnp.maximum(jnp.sum(col * col, axis=-1, keepdims=True), 1e-24)
+    )
+    flip = jnp.where(
+        jnp.sum(axis_pi * axis_raw, axis=-1, keepdims=True) < 0.0, -1.0, 1.0
+    )
+    # Window where the generic path's axis error (f32 matrix noise / sin)
+    # exceeds the symmetric extraction's O((pi-theta)^2) error.
+    near_pi = (cos_t[..., None] < 0.0) & (sin_t < 5e-3)
+    return jnp.where(near_pi, axis_pi * flip * theta, generic)
 
 
 def rotate(r: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
