@@ -2,18 +2,28 @@
 
 BASELINE.md config 4: process a frame sequence with batched (data-parallel)
 extraction, match consecutive frames, and select keyframes when tracking
-decays.  TPU-first shape: frames stream through the device in fixed-size
-batches (optionally sharded over a `data` mesh); matching of the B-1
-consecutive pairs inside a batch is one vmapped call; only the tiny match
-counts come back to the host, where the (inherently sequential, O(T))
-keyframe decision runs.
+decays.  TPU-first shape (SURVEY.md §2 DP row): the WHOLE sequence runs as
+ONE jitted device program — a `lax.scan` over fixed-size frame chunks does
+batched extraction + consecutive matching (the only carry between chunks is
+the previous chunk's last frame), then a per-frame `lax.scan` runs keyframe
+selection ON DEVICE by matching each frame against the current keyframe's
+descriptors.  Only the final per-frame counts/flags return to the host, so a
+tunneled accelerator pays ONE dispatch for the sequence instead of one RPC
+round trip per chunk (the round-1 bottleneck: ~740 ms/step RPC vs ~140 ms
+device time, BASELINE.md round-1 notes).
+
+Keyframe criterion: a new keyframe is inserted at frame t when the number of
+matches between frame t and the LAST KEYFRAME falls below
+`keyframe_min_tracked` times the reference count (the keyframe's match count
+observed one frame after its insertion) — i.e. tracking is measured against
+the keyframe itself, not a consecutive-frame proxy.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -33,23 +43,84 @@ class VideoResult:
     match_counts: np.ndarray  # (T,) matches to previous frame (0 for t=0)
     keyframes: List[int]  # selected keyframe indices
     matches_prev: Matches  # (T, Ka) per-frame matches to the previous frame
+    kf_match_counts: np.ndarray  # (T,) matches to the active keyframe
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_video_step(config: AkazeConfig, mconfig: MatchConfig):
-    @jax.jit
-    def step(frames, prev_desc, prev_valid):
-        """frames (B, H, W); prev_*: features of the frame before this batch.
-        Returns features and per-frame Matches against the previous frame."""
-        feats = extract_batch_fn(frames, config)
-        desc = jnp.concatenate([prev_desc[None], feats.descriptors[:-1]], axis=0)
-        val = jnp.concatenate([prev_valid[None], feats.keypoints.valid[:-1]], axis=0)
-        matches = jax.vmap(
-            lambda da, va, db, vb: match_fn(da, va, db, vb, mconfig)
-        )(desc, val, feats.descriptors, feats.keypoints.valid)
-        return feats, matches
+def _compiled_video_program(
+    config: AkazeConfig,
+    mconfig: MatchConfig,
+    sconfig: SfmConfig,
+    num_chunks: int,
+):
+    """One jitted program for the whole (num_chunks, B, H, W) sequence."""
 
-    return step
+    @jax.jit
+    def run(chunks):
+        def chunk_step(carry, frames):
+            prev_desc, prev_valid = carry
+            feats = extract_batch_fn(frames, config)
+            desc = jnp.concatenate([prev_desc[None], feats.descriptors[:-1]], 0)
+            val = jnp.concatenate(
+                [prev_valid[None], feats.keypoints.valid[:-1]], 0
+            )
+            matches = jax.vmap(
+                lambda da, va, db, vb: match_fn(da, va, db, vb, mconfig)
+            )(desc, val, feats.descriptors, feats.keypoints.valid)
+            out_carry = (feats.descriptors[-1], feats.keypoints.valid[-1])
+            return out_carry, (feats, matches)
+
+        init = (
+            jnp.zeros((config.max_keypoints, config.descriptor_words), jnp.uint32),
+            jnp.zeros((config.max_keypoints,), bool),
+        )
+        _, (feats, matches) = jax.lax.scan(chunk_step, init, chunks)
+        # (C, B, ...) -> (C*B, ...)
+        feats = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        matches = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), matches
+        )
+
+        # ---- device-side keyframe selection vs the LAST KEYFRAME ----
+        # Carry: keyframe descriptors + reference count. `age` counts frames
+        # since the keyframe was inserted; the reference count is fixed one
+        # frame after insertion (the keyframe's own matchable-feature count).
+        def kf_step(carry, frame_feats):
+            kf_desc, kf_valid, ref, age = carry
+            desc_t, valid_t = frame_feats
+            m = match_fn(kf_desc, kf_valid, desc_t, valid_t, mconfig)
+            c = m.count()
+            ref = jnp.where(age == 1, jnp.maximum(c, 1), ref)
+            tracked = c.astype(jnp.float32) / ref.astype(jnp.float32)
+            is_kf = (age >= 1) & (tracked < sconfig.keyframe_min_tracked)
+            kf_desc = jnp.where(is_kf, desc_t, kf_desc)
+            kf_valid = jnp.where(is_kf, valid_t, kf_valid)
+            age = jnp.where(is_kf, 0, age) + 1
+            return (kf_desc, kf_valid, ref, age), (c, is_kf)
+
+        kf_init = (
+            feats.descriptors[0],
+            feats.keypoints.valid[0],
+            jnp.int32(1),
+            jnp.int32(1),
+        )
+        frame_stream = (feats.descriptors[1:], feats.keypoints.valid[1:])
+        _, (kf_counts, is_kf) = jax.lax.scan(kf_step, kf_init, frame_stream)
+        kf_counts = jnp.concatenate([jnp.zeros((1,), kf_counts.dtype), kf_counts])
+        is_kf = jnp.concatenate([jnp.zeros((1,), bool), is_kf])
+        # All scalar-per-frame reductions happen IN-program: every extra op
+        # issued after this call is one more RPC round trip on a tunneled
+        # accelerator (the round-1 video bottleneck).
+        prev_counts = matches.count()
+        return feats, matches, prev_counts, kf_counts, is_kf
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_slicer(t: int):
+    """One jitted dispatch slicing every padded (C*B, ...) leaf to (T, ...)."""
+    return jax.jit(lambda tree: jax.tree.map(lambda x: x[:t], tree))
 
 
 def process_video(
@@ -59,7 +130,7 @@ def process_video(
     sconfig: SfmConfig | None = None,
     batch: int = 8,
 ) -> VideoResult:
-    """Run the full front-end over a (T, H, W) sequence."""
+    """Run the full front-end over a (T, H, W) sequence in ONE device call."""
     config = config or AkazeConfig()
     # Video tracking gates on absolute Hamming distance as well: genuine
     # frame-to-frame matches sit far below 120/486 bits, while ratio+mutual
@@ -67,51 +138,35 @@ def process_video(
     # would mask scene cuts from the keyframe logic.
     mconfig = mconfig or MatchConfig(max_distance=120)
     sconfig = sconfig or SfmConfig()
-    # One host->device transfer up front; per-step chunks are DEVICE slices.
-    # (Feeding numpy chunks would re-upload every batch — on a tunneled
-    # accelerator that transfer dominates the whole pipeline.)
-    frames = jnp.asarray(np.asarray(frames, np.float32))
+    frames = np.asarray(frames, np.float32)
     T = frames.shape[0]
-    step = _compiled_video_step(config, mconfig)
+    # Chunk count is a compile-time constant (scan length); bucket it to the
+    # next power of two so variable-length sequences reuse executables.  Tail
+    # padding repeats the last frame — padded frames track the keyframe
+    # perfectly, so they never insert phantom keyframes, and every padded
+    # output row is sliced off below.
+    num_chunks = max(1, -(-T // batch))
+    num_chunks = 1 << (num_chunks - 1).bit_length()
+    total = num_chunks * batch
+    if total > T:
+        frames = np.concatenate(
+            [frames, np.repeat(frames[-1:], total - T, axis=0)]
+        )
+    # One host->device transfer up front; the whole program is one dispatch.
+    chunks = jnp.asarray(frames.reshape(num_chunks, batch, *frames.shape[1:]))
+    run = _compiled_video_program(config, mconfig, sconfig, num_chunks)
+    feats, matches, prev_counts, kf_counts, is_kf = run(chunks)
 
-    feats_list, matches_list = [], []
-    prev_desc = jnp.zeros((config.max_keypoints, 16), jnp.uint32)
-    prev_valid = jnp.zeros((config.max_keypoints,), bool)
-    for t0 in range(0, T, batch):
-        chunk = frames[t0 : t0 + batch]
-        if chunk.shape[0] < batch:  # pad the tail to the compiled batch size
-            pad = batch - chunk.shape[0]
-            chunk = jnp.concatenate(
-                [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
-            )
-        feats, matches = step(chunk, prev_desc, prev_valid)
-        feats_list.append(feats)
-        matches_list.append(matches)
-        prev_desc = feats.descriptors[min(batch, T - t0) - 1]
-        prev_valid = feats.keypoints.valid[min(batch, T - t0) - 1]
-
-    def cat(trees):
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:T], *trees)
-
-    feats = cat(feats_list)
-    matches = cat(matches_list)
-
-    counts = np.array(matches.count())
+    feats, matches = _compiled_slicer(T)((feats, matches))
+    counts = np.array(prev_counts)[:T]
     counts[0] = 0
-
-    # Keyframe selection (sequential, host): new keyframe when the fraction
-    # of the last keyframe's matches still tracked drops below threshold.
-    kp_counts = np.asarray(feats.keypoints.count())
-    keyframes = [0]
-    ref_matches = max(int(counts[1]) if T > 1 else 1, 1)
-    for t in range(1, T):
-        tracked = counts[t] / max(ref_matches, 1)
-        if tracked < sconfig.keyframe_min_tracked:
-            keyframes.append(t)
-            ref_matches = max(int(counts[t]), 1)
+    kf_counts = np.asarray(kf_counts)[:T]
+    is_kf = np.asarray(is_kf)[:T]
+    keyframes = [0] + [int(t) for t in np.nonzero(is_kf)[0]]
     return VideoResult(
         features=feats,
         match_counts=counts,
         keyframes=keyframes,
         matches_prev=matches,
+        kf_match_counts=kf_counts,
     )
