@@ -30,6 +30,16 @@ def main(argv=None) -> int:
         "--mesh", type=int, default=0,
         help="shard BA points over this many devices (0 = single device)",
     )
+    p.add_argument(
+        "--no-loop-closure", action="store_true",
+        help="disable keyframe loop-closure detection + pose-graph optimization",
+    )
+    p.add_argument("--loop-min-gap", type=int, default=8,
+                   help="minimum keyframe separation for closure candidates")
+    p.add_argument("--loop-min-matches", type=int, default=60,
+                   help="descriptor matches required to verify a candidate")
+    p.add_argument("--loop-min-inliers", type=int, default=30,
+                   help="RANSAC inliers required to accept a closure")
     args = p.parse_args(argv)
 
     from akaze_tpu.core.config import RansacConfig, SfmConfig
@@ -53,6 +63,25 @@ def main(argv=None) -> int:
     ]
     tracks = build_tracks(matches, len(frames))
 
+    # Loop closure: match the keyframe database pairwise, verify with RANSAC,
+    # merge the closure matches into the track set (revisited points become
+    # shared 3D points) and keep the verified edges for pose-graph
+    # optimization inside run_incremental.
+    closures = []
+    if not args.no_loop_closure and len(res.keyframes) >= 2:
+        from akaze_tpu.sfm.loop_closure import (
+            detect_loop_closures,
+            merge_closure_tracks,
+        )
+
+        closures = detect_loop_closures(
+            res.features, res.keyframes, (fx, fy, cx, cy),
+            min_gap=args.loop_min_gap, min_matches=args.loop_min_matches,
+            min_inliers=args.loop_min_inliers,
+        )
+        if closures:
+            tracks = merge_closure_tracks(tracks, closures)
+
     # Track observations in normalized camera coords.
     kx = np.asarray(res.features.keypoints.x)
     ky = np.asarray(res.features.keypoints.y)
@@ -74,7 +103,7 @@ def main(argv=None) -> int:
     sfm = run_incremental(
         observations, len(frames),
         SfmConfig(ba_iterations=args.ba_iterations),
-        RansacConfig(), mesh=mesh,
+        RansacConfig(), mesh=mesh, closures=closures,
     )
 
     from akaze_tpu.sfm.metrics import camera_centers
@@ -84,6 +113,7 @@ def main(argv=None) -> int:
         "num_frames": int(len(frames)),
         "num_tracks": len(tracks),
         "num_points": int(len(sfm.points)),
+        "num_loop_closures": len(closures),
         "poses": sfm.poses.tolist(),
         "camera_centers": centers.tolist(),
     }

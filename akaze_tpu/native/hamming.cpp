@@ -83,28 +83,4 @@ int akaze_match_hamming(const uint32_t* a, int na, const uint32_t* b, int nb,
   return accepted;
 }
 
-// Standalone benchmark helper: extract+describe is device-side, but the
-// baseline protocol (BASELINE.md) wants a single-core CPU match timing.
-double akaze_bench_match(int na, int nb, int words, int reps) {
-  std::vector<uint32_t> a(static_cast<size_t>(na) * words),
-      b(static_cast<size_t>(nb) * words);
-  uint32_t s = 0x12345678u;
-  auto rnd = [&s]() {
-    s ^= s << 13;
-    s ^= s >> 17;
-    s ^= s << 5;
-    return s;
-  };
-  for (auto& v : a) v = rnd();
-  for (auto& v : b) v = rnd();
-  std::vector<int32_t> idx(na), dist(na);
-  std::vector<uint8_t> acc(na);
-  volatile int sink = 0;
-  for (int r = 0; r < reps; ++r) {
-    sink += akaze_match_hamming(a.data(), na, b.data(), nb, words, 0.8f, 1,
-                                486, idx.data(), dist.data(), acc.data());
-  }
-  return static_cast<double>(sink);
-}
-
 }  // extern "C"

@@ -45,3 +45,34 @@ def test_native_empty_inputs():
     assert idx.shape == (0,)
     idx, dist, acc = native.match_hamming_native(b, a)
     assert not acc.any()
+
+
+def test_native_extract_parity_vs_golden():
+    """The C++ single-core AKAZE (the measured-baseline stand-in for the
+    reference binary) must agree with the golden oracle nearly bitwise:
+    same sequential extrema semantics, same filters, same M-LDB layout."""
+    from akaze_tpu.golden import akaze
+    from akaze_tpu.utils.synthetic import textured_scene
+
+    img = textured_scene(180, 240, seed=11)
+    kps, desc = native.extract_native(img)
+    gold = akaze.extract(img)
+    assert len(kps) == len(gold.keypoints)
+    gk = np.array(
+        [[k.x, k.y, k.class_id, k.angle] for k in gold.keypoints], np.float32
+    )
+    # Same order (identical raster/level traversal), near-identical values.
+    assert np.abs(kps[:, 0] - gk[:, 0]).max() < 1e-3
+    assert np.abs(kps[:, 1] - gk[:, 1]).max() < 1e-3
+    np.testing.assert_array_equal(kps[:, 5].astype(int), gk[:, 2].astype(int))
+    assert np.abs(kps[:, 6] - gk[:, 3]).max() < 1e-4
+    bits = np.unpackbits(np.bitwise_xor(desc, gold.descriptors), axis=1).sum(1)
+    assert bits.mean() < 0.5 and bits.max() <= 4
+
+
+def test_native_bench_pipeline_runs():
+    from akaze_tpu.utils.synthetic import video_sequence
+
+    pair = video_sequence(2, 120, 160, seed=3)
+    sec = native.bench_pipeline_native(pair[0], pair[1], reps=1)
+    assert 0.0 < sec < 60.0
