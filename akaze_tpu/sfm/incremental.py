@@ -1,11 +1,21 @@
 """Mini incremental SfM: tracks -> two-view init -> PnP -> triangulate -> BA.
 
 BASELINE.md config 5 driver.  Division of labor (SURVEY.md §5 long-context
-row): the HOST owns the dynamic map bookkeeping (tracks, which points exist,
-which keyframes see them — cheap, O(tracks)); the DEVICE owns every numeric
-solve on fixed-shape padded arrays: essential-matrix RANSAC (geometry/
-twoview), single-pose PnP refinement, midpoint triangulation, and the
-Schur-complement bundle adjustment (sfm/ba, optionally sharded over a mesh).
+row): the HOST owns the dynamic map bookkeeping (tracks, point-row
+assignment, which keyframes see which tracks — cheap, O(tracks)); the
+DEVICE owns every numeric solve on fixed-shape padded arrays.
+
+TPU-first orchestration (round-2 redesign): the per-keyframe loop runs as
+ONE jitted `lax.scan` super-step per BA window.  The host pre-schedules the
+whole window — which point rows each keyframe's PnP reads, which rows each
+consecutive pair triangulates — and the device scan resolves the
+data-dependent parts (point validity, depth tests, PnP fallbacks) in-carry,
+reproducing the sequential reference semantics without one RPC round trip
+per keyframe.  Point rows are assigned by the host when a track is first
+scheduled; a point becomes VALID only when the device's cheirality test
+passes, and failed rows are automatically rescheduled at later pairs
+(matching the retry behavior of the host-loop formulation).  Per window the
+device sees: 1 super-step dispatch + 1 bundle-adjustment dispatch.
 """
 
 from __future__ import annotations
@@ -74,6 +84,125 @@ def refine_pose_pnp(
     return pose6
 
 
+# --------------------------------------------------------------------------
+# Device window super-step: scan over a window of keyframes, one dispatch.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("pnp_iterations",))
+def _window_superstep(
+    poses: jax.Array,        # (K, 6)
+    points: jax.Array,       # (Pcap+1, 3) — last row is the padding sentinel
+    valid: jax.Array,        # (Pcap+1,) bool
+    ks: jax.Array,           # (W,) i32 keyframe indices
+    pnp_rows: jax.Array,     # (W, Npnp) i32 point rows (sentinel-padded)
+    pnp_uv: jax.Array,       # (W, Npnp, 2)
+    pnp_w: jax.Array,        # (W, Npnp) f32 1 for scheduled slots
+    tri_rows: jax.Array,     # (W, Ntri) i32 rows to triangulate (sentinel-padded)
+    tri_uva: jax.Array,      # (W, Ntri, 2) obs at frame k-1
+    tri_uvb: jax.Array,      # (W, Ntri, 2) obs at frame k
+    tri_w: jax.Array,        # (W, Ntri) f32 1 for scheduled slots
+    pnp_iterations: int = 10,
+):
+    """Sequential PnP + triangulation over a keyframe window, fully on device.
+
+    Per step k: (1) PnP against currently-valid scheduled points (warm-started
+    from pose k-1, branchless fallback to pose k-1 when under 6 usable
+    correspondences); (2) midpoint-triangulate scheduled pairs from (k-1, k),
+    marking rows valid on a positive-depth test unless already valid."""
+
+    def body(carry, inputs):
+        poses, points, valid = carry
+        k, rows, uv, w, trows, uva, uvb, tw = inputs
+        # ---- PnP ----
+        p3 = points[rows]
+        wv = w * valid[rows].astype(jnp.float32)
+        count = jnp.sum(wv)
+        pose_prev = poses[k - 1]
+        refined = refine_pose_pnp(pose_prev, p3, uv, wv, iterations=pnp_iterations)
+        pose_k = jnp.where(count >= 6.0, refined, pose_prev)
+        poses = poses.at[k].set(pose_k)
+        # ---- triangulate new tracks seen from (k-1, k) ----
+        ra = rotvec_to_matrix(poses[k - 1, :3])
+        rb = rotvec_to_matrix(pose_k[:3])
+        r_rel = rb @ ra.T
+        t_rel = pose_k[3:] - r_rel @ poses[k - 1, 3:]
+        ones = jnp.ones((*uva.shape[:-1], 1), uva.dtype)
+        xa = jnp.concatenate([uva, ones], axis=-1)
+        xb = jnp.concatenate([uvb, ones], axis=-1)
+        local = triangulate(r_rel, t_rel, xa, xb)  # cam_{k-1} frame
+        world = (local - poses[k - 1, 3:]) @ ra
+        ok = (local[:, 2] > 0) & (tw > 0) & jnp.logical_not(valid[trows])
+        points = points.at[trows].set(
+            jnp.where(ok[:, None], world, points[trows])
+        )
+        valid = valid.at[trows].set(valid[trows] | ok)
+        return (poses, points, valid), None
+
+    (poses, points, valid), _ = jax.lax.scan(
+        body, (poses, points, valid),
+        (ks, pnp_rows, pnp_uv, pnp_w, tri_rows, tri_uva, tri_uvb, tri_w),
+    )
+    return poses, points, valid
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    return max(minimum, 1 << max(0, (n - 1)).bit_length())
+
+
+def _apply_pose_graph(poses, num_kf, closures, iterations=12):
+    """Pose-graph optimization over odometry + loop-closure edges.
+
+    Odometry edges carry the current incremental estimates (zero residual at
+    init); closure edges carry the independently measured relative pose, so
+    PGO distributes each closure's discrepancy around the loop.  Monocular
+    closures have unit-scale translation — rescaled here to the current
+    estimate's baseline norm (direction + rotation are the measurement).
+    Edge count is bucket-padded (valid-masked) for executable reuse."""
+    from akaze_tpu.sfm.pose_graph import PoseGraph, optimize_pose_graph, relative
+
+    act = [c for c in closures if c[1] < num_kf]
+    if not act:
+        return poses, False
+    poses_j = jnp.asarray(poses, jnp.float32)
+    edges_i = list(range(1, num_kf))
+    edges_j = list(range(0, num_kf - 1))
+    rels = [
+        np.asarray(relative(poses_j[k], poses_j[k - 1]), np.float32)
+        for k in range(1, num_kf)
+    ]
+    for i, j, rel6 in act:  # i < j; edge measures cam_j-from-cam_i
+        rel6 = np.asarray(rel6, np.float32).copy()
+        est = np.asarray(relative(poses_j[j], poses_j[i]), np.float32)
+        scale = float(np.linalg.norm(est[3:]))
+        rel6[3:] *= max(scale, 1e-6)
+        edges_i.append(j)
+        edges_j.append(i)
+        rels.append(rel6)
+    e = len(edges_i)
+    ecap = _bucket(e, 16)
+    K = len(poses)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    fixed[num_kf:] = True
+    graph = PoseGraph(
+        poses=jnp.asarray(poses, jnp.float32),
+        edge_i=jnp.asarray(
+            np.pad(np.asarray(edges_i, np.int32), (0, ecap - e))
+        ),
+        edge_j=jnp.asarray(
+            np.pad(np.asarray(edges_j, np.int32), (0, ecap - e))
+        ),
+        rel=jnp.asarray(
+            np.pad(np.asarray(rels, np.float32), ((0, ecap - e), (0, 0)))
+        ),
+        valid=jnp.asarray(np.arange(ecap) < e),
+        fixed=jnp.asarray(fixed),
+    )
+    out = optimize_pose_graph(graph, iterations=iterations)
+    return np.asarray(out.poses), True
+
+
 @dataclasses.dataclass
 class SfmResult:
     poses: np.ndarray  # (K, 6) camera-from-world per keyframe
@@ -91,6 +220,8 @@ def run_incremental(
     ba_every: int = 4,
     resume=None,
     checkpoint_path=None,
+    closures=None,
+    pgo_iterations: int = 12,
 ) -> SfmResult:
     """Incremental SfM over tracked observations.
 
@@ -98,31 +229,79 @@ def run_incremental(
     from build_tracks + keypoint lookup).  Frames are treated as keyframes
     0..num_frames-1.  Returns poses for every frame and the sparse map.
 
+    closures: optional verified loop closures — `sfm.loop_closure.Closure`s
+    or (i, j, rel6) tuples with i < j and rel6 the measured cam_j-from-cam_i
+    [rotvec|t].  When a window reaches a closure's later keyframe, pose-graph
+    optimization runs over odometry + closure edges and bundle adjustment
+    re-polishes the map from the corrected poses (BASELINE.json config 5
+    "distributed Schur-complement BA and pose-graph optimization").
+
     Elastic recovery (SURVEY.md §5): pass `checkpoint_path` to persist the
     map after every BA round; pass `resume` (an SfmCheckpoint) to restart
-    from its `next_keyframe` — the per-keyframe loop is idempotent, so a
+    from its `next_keyframe` — the per-window loop is idempotent, so a
     killed run resumes exactly where the last checkpoint left it.
     """
     sconfig = sconfig or SfmConfig()
     rconfig = rconfig or RansacConfig()
     K = num_frames
     poses = np.zeros((K, 6), np.float32)
-    have_pose = np.zeros(K, bool)
+    closure_list: List[Tuple[int, int, np.ndarray]] = []
+    for c in closures or []:
+        if hasattr(c, "rel6"):
+            closure_list.append((int(c.i), int(c.j), np.asarray(c.rel6, np.float32)))
+        else:
+            i, j, rel6 = c
+            closure_list.append((int(i), int(j), np.asarray(rel6, np.float32)))
+
+    # Dense point-row storage: host assigns rows, device decides validity.
+    cap = 256
+    points = np.zeros((cap, 3), np.float32)
+    valid = np.zeros(cap, bool)
+    next_row = 0
+    assigned: Dict[int, int] = {}  # track -> row (valid or not yet)
+
+    def ensure_capacity(n):
+        nonlocal cap, points, valid
+        if n <= cap:
+            return
+        new_cap = _bucket(n, cap)
+        points = np.concatenate([points, np.zeros((new_cap - cap, 3), np.float32)])
+        valid = np.concatenate([valid, np.zeros(new_cap - cap, bool)])
+        cap = new_cap
 
     if resume is not None:
+        if resume.next_keyframe > K:
+            raise ValueError(
+                f"checkpoint next_keyframe={resume.next_keyframe} exceeds "
+                f"num_frames={K}; the resumed run must cover at least as many "
+                "frames as the checkpointed one"
+            )
         start_k = resume.next_keyframe
-        kres = resume.poses.shape[0]
-        poses[:kres] = resume.poses[:K]
-        have_pose[:min(start_k, K)] = True
-        points = [p.astype(np.float32) for p in np.asarray(resume.points)]
-        track_point = dict(resume.track_point)
+        n = min(resume.poses.shape[0], K)
+        poses[:n] = resume.poses[:n]
+        rp = np.asarray(resume.points, np.float32).reshape(-1, 3)
+        ensure_capacity(len(rp))
+        points[: len(rp)] = rp
+        next_row = len(rp)
+        assigned = dict(resume.track_point)
+        for row in assigned.values():
+            valid[row] = True
     else:
         start_k = 2
         # ---- two-view initialization from frames 0 and 1 ----
         t0, t1 = 0, 1
-        pairs = [tr for tr in observations if t0 in tr and t1 in tr]
-        x1 = np.array([np.append(tr[t0], 1.0) for tr in pairs], np.float32)
-        x2 = np.array([np.append(tr[t1], 1.0) for tr in pairs], np.float32)
+        pairs = [ti for ti, tr in enumerate(observations) if t0 in tr and t1 in tr]
+        if len(pairs) < 8:
+            raise ValueError(
+                f"two-view initialization needs >=8 tracks shared by frames "
+                f"{t0} and {t1}; got {len(pairs)}"
+            )
+        x1 = np.array(
+            [np.append(observations[ti][t0], 1.0) for ti in pairs], np.float32
+        )
+        x2 = np.array(
+            [np.append(observations[ti][t1], 1.0) for ti in pairs], np.float32
+        )
         res = estimate_relative_pose(
             jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool), rconfig
         )
@@ -131,108 +310,159 @@ def run_incremental(
         poses[t0] = 0.0
         poses[t1, :3] = np.asarray(matrix_to_rotvec(jnp.asarray(R)))
         poses[t1, 3:] = t
-        have_pose[[t0, t1]] = True
 
         # Map: triangulate the init inliers.
         inl = np.asarray(res.inliers)
         pts3 = np.asarray(
             triangulate(jnp.asarray(R), jnp.asarray(t), jnp.asarray(x1), jnp.asarray(x2))
         )
-        track_point: Dict[int, int] = {}
-        points: List[np.ndarray] = []
-        track_ids = [i for i, tr in enumerate(observations) if t0 in tr and t1 in tr]
-        for row, ti in enumerate(track_ids):
-            if inl[row] and pts3[row, 2] > 0:
-                track_point[ti] = len(points)
-                points.append(pts3[row])
+        good = inl & (pts3[:, 2] > 0)
+        n_init = int(good.sum())
+        ensure_capacity(n_init)
+        for row, (ti, g) in enumerate(zip(pairs, good)):
+            if g:
+                assigned[ti] = next_row
+                points[next_row] = pts3[row]
+                valid[next_row] = True
+                next_row += 1
 
-    # ---- incremental loop over the remaining keyframes ----
-    for k in range(start_k, K):
-        # 2D-3D correspondences from tracks with existing points.
-        ids = [
-            ti for ti, tr in enumerate(observations)
-            if k in tr and ti in track_point
-        ]
-        if len(ids) >= 6:
-            p3 = np.array([points[track_point[ti]] for ti in ids], np.float32)
-            uv = np.array([observations[ti][k] for ti in ids], np.float32)
-            # Bucket-pad (zero-weight) so repeated PnP calls share compiles.
-            n = len(ids)
-            bucket = max(64, 1 << (n - 1).bit_length())
-            w = np.zeros(bucket, np.float32)
-            w[:n] = 1.0
-            p3 = np.pad(p3, ((0, bucket - n), (0, 0)), constant_values=1.0)
-            uv = np.pad(uv, ((0, bucket - n), (0, 0)))
-            pose0 = poses[k - 1]  # warm start from the previous keyframe
-            poses[k] = np.asarray(
-                refine_pose_pnp(
-                    jnp.asarray(pose0), jnp.asarray(p3), jnp.asarray(uv),
-                    jnp.asarray(w),
+    # Index tracks by frame once (host, O(total observations)).
+    frame_tracks: List[List[int]] = [[] for _ in range(K)]
+    for ti, tr in enumerate(observations):
+        for f in tr:
+            if f < K:
+                frame_tracks[f].append(ti)
+
+    # ---- window loop: each window = one device super-step + one BA ----
+    k = start_k
+    while k < K:
+        k_end = k
+        while k_end < K - 1 and not (k_end % ba_every == 0 and k_end >= k):
+            k_end += 1
+        window = list(range(k, k_end + 1))
+
+        # Host scheduling: per keyframe, PnP rows + triangulation pairs.
+        pnp_sched: List[List[Tuple[int, np.ndarray]]] = []
+        tri_sched: List[List[Tuple[int, np.ndarray, np.ndarray]]] = []
+        # Assignment time (window step index) for tracks assigned here.
+        assign_step: Dict[int, int] = {}
+        for wi, kk in enumerate(window):
+            pnp_k = []
+            for ti in frame_tracks[kk]:
+                if ti in assigned and (
+                    ti not in assign_step or assign_step[ti] < wi
+                ):
+                    pnp_k.append((assigned[ti], observations[ti][kk]))
+            tri_k = []
+            for ti in frame_tracks[kk]:
+                tr = observations[ti]
+                if kk - 1 not in tr:
+                    continue
+                if ti in assigned:
+                    row = assigned[ti]
+                    # Reschedule only failed rows (device skips valid ones).
+                    if valid[row] or ti in assign_step:
+                        if ti not in assign_step:
+                            continue  # valid from a previous window
+                        # assigned this window: retry at later pairs
+                    tri_k.append((row, tr[kk - 1], tr[kk]))
+                else:
+                    ensure_capacity(next_row + 1)
+                    assigned[ti] = next_row
+                    assign_step[ti] = wi
+                    tri_k.append((next_row, tr[kk - 1], tr[kk]))
+                    next_row += 1
+            pnp_sched.append(pnp_k)
+            tri_sched.append(tri_k)
+
+        W = len(window)
+        n_pnp = _bucket(max((len(p) for p in pnp_sched), default=1))
+        n_tri = _bucket(max((len(t) for t in tri_sched), default=1))
+        pcap = _bucket(next_row, cap)
+        ensure_capacity(pcap)
+        sentinel = pcap  # device arrays get one extra padding row
+
+        pnp_rows = np.full((W, n_pnp), sentinel, np.int32)
+        pnp_uv = np.zeros((W, n_pnp, 2), np.float32)
+        pnp_w = np.zeros((W, n_pnp), np.float32)
+        tri_rows = np.full((W, n_tri), sentinel, np.int32)
+        tri_uva = np.zeros((W, n_tri, 2), np.float32)
+        tri_uvb = np.zeros((W, n_tri, 2), np.float32)
+        tri_w = np.zeros((W, n_tri), np.float32)
+        for wi in range(W):
+            for s, (row, uv) in enumerate(pnp_sched[wi]):
+                pnp_rows[wi, s] = row
+                pnp_uv[wi, s] = uv
+                pnp_w[wi, s] = 1.0
+            for s, (row, uva, uvb) in enumerate(tri_sched[wi]):
+                tri_rows[wi, s] = row
+                tri_uva[wi, s] = uva
+                tri_uvb[wi, s] = uvb
+                tri_w[wi, s] = 1.0
+
+        dev_points = np.concatenate(
+            [points[:pcap], np.zeros((1, 3), np.float32)]
+        )
+        dev_valid = np.concatenate([valid[:pcap], np.zeros(1, bool)])
+        out_poses, out_points, out_valid = _window_superstep(
+            jnp.asarray(poses), jnp.asarray(dev_points), jnp.asarray(dev_valid),
+            jnp.asarray(np.asarray(window, np.int32)),
+            jnp.asarray(pnp_rows), jnp.asarray(pnp_uv), jnp.asarray(pnp_w),
+            jnp.asarray(tri_rows), jnp.asarray(tri_uva), jnp.asarray(tri_uvb),
+            jnp.asarray(tri_w),
+        )
+        poses = np.asarray(out_poses)
+        points[:pcap] = np.asarray(out_points[:pcap])
+        valid[:pcap] = np.asarray(out_valid[:pcap])
+
+        # ---- bundle adjustment over everything so far ----
+        track_point = {
+            ti: row for ti, row in assigned.items() if valid[row]
+        }
+        if next_row >= 8:
+            poses, new_pts = _run_ba(
+                poses, points[:next_row], observations, track_point,
+                k_end + 1, sconfig, mesh,
+            )
+            points[:next_row] = new_pts
+            # Pose-graph optimization when this window reached a closure's
+            # later keyframe; BA then re-polishes from the corrected poses.
+            if any(k <= cj <= k_end for _, cj, _ in closure_list):
+                poses, applied = _apply_pose_graph(
+                    poses, k_end + 1, closure_list, pgo_iterations
                 )
-            )
-            have_pose[k] = True
-        else:  # fall back to chaining the previous pose
-            poses[k] = poses[k - 1]
-            have_pose[k] = True
-
-        # Triangulate new tracks seen from (k-1, k).
-        new_ids = [
-            ti for ti, tr in enumerate(observations)
-            if k in tr and (k - 1) in tr and ti not in track_point
-        ]
-        if new_ids:
-            xa = np.array(
-                [np.append(observations[ti][k - 1], 1.0) for ti in new_ids],
-                np.float32,
-            )
-            xb = np.array(
-                [np.append(observations[ti][k], 1.0) for ti in new_ids], np.float32
-            )
-            # Relative pose (cam_k from cam_{k-1}).
-            ra = np.asarray(rotvec_to_matrix(jnp.asarray(poses[k - 1, :3])))
-            rb = np.asarray(rotvec_to_matrix(jnp.asarray(poses[k, :3])))
-            r_rel = rb @ ra.T
-            t_rel = poses[k, 3:] - r_rel @ poses[k - 1, 3:]
-            local = np.asarray(
-                triangulate(
-                    jnp.asarray(r_rel, jnp.float32), jnp.asarray(t_rel, jnp.float32),
-                    jnp.asarray(xa), jnp.asarray(xb),
-                )
-            )
-            # cam_{k-1} frame -> world: X_w = R_a^T (X_c - t_a)
-            world = (local - poses[k - 1, 3:]) @ ra
-            depth_ok = local[:, 2] > 0
-            for row, ti in enumerate(new_ids):
-                if depth_ok[row]:
-                    track_point[ti] = len(points)
-                    points.append(world[row].astype(np.float32))
-
-        # Periodic bundle adjustment over everything so far.
-        if (k % ba_every == 0 or k == K - 1) and len(points) >= 8:
-            poses, points = _run_ba(
-                poses, points, observations, track_point, k + 1, sconfig, mesh
-            )
+                if applied:
+                    poses, new_pts = _run_ba(
+                        poses, points[:next_row], observations, track_point,
+                        k_end + 1, sconfig, mesh,
+                    )
+                    points[:next_row] = new_pts
             if checkpoint_path is not None:
                 from akaze_tpu.sfm.checkpoint import SfmCheckpoint, save_checkpoint
 
                 save_checkpoint(
                     checkpoint_path,
                     SfmCheckpoint(
-                        poses=poses, points=np.asarray(points),
+                        poses=poses, points=points[:next_row].copy(),
                         track_point=track_point,
-                        keyframe_frames=list(range(k + 1)),
-                        next_keyframe=k + 1,
+                        keyframe_frames=list(range(k_end + 1)),
+                        next_keyframe=k_end + 1,
                     ),
                 )
+        k = k_end + 1
 
+    track_point = {ti: row for ti, row in assigned.items() if valid[row]}
     return SfmResult(
-        poses=poses, points=np.asarray(points),
+        poses=poses, points=points[:next_row].copy(),
         keyframe_frames=list(range(K)), track_point=track_point,
     )
 
 
 def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
-    """Pack the current map into a fixed-shape BAProblem and optimize."""
+    """Pack the current map into a fixed-shape BAProblem and optimize.
+
+    `points` is the dense (P, 3) row array (rows without a valid track get
+    no observations and are left untouched by the damped solver)."""
     P = len(points)
     Q = max(2, min(8, num_kf))
     obs_cam = np.zeros((P, Q), np.int32)
@@ -279,5 +509,4 @@ def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
         if mesh is not None
         else bundle_adjust(problem, sconfig)
     )
-    new_points = np.array(out.points)[:P]
-    return np.array(out.poses), [new_points[i] for i in range(P)]
+    return np.array(out.poses), np.array(out.points)[:P]

@@ -1,0 +1,139 @@
+"""Loop-closure detection, track merging, and pose-graph-in-SfM tests
+(BASELINE.md config 5: "distributed Schur-complement BA and pose-graph
+optimization")."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from akaze_tpu.core.config import RansacConfig, SfmConfig
+from akaze_tpu.sfm.incremental import run_incremental
+from akaze_tpu.sfm.loop_closure import Closure, merge_closure_tracks
+from akaze_tpu.sfm.metrics import ate_rmse, camera_centers
+from akaze_tpu.sfm.pose_graph import relative
+from akaze_tpu.sfm.rotations import rotvec_to_matrix
+
+
+def test_merge_closure_tracks_unions():
+    tracks = [
+        {0: 5, 1: 7},          # early track
+        {8: 3, 9: 4},          # late track, same physical point
+        {1: 9, 2: 2},
+    ]
+    cl = Closure(
+        i=0, j=8, matches=np.array([[5, 3]]), rel6=np.zeros(6, np.float32),
+        num_inliers=50,
+    )
+    merged = merge_closure_tracks(tracks, [cl])
+    joined = [t for t in merged if 0 in t and 8 in t]
+    assert len(joined) == 1
+    assert joined[0][0] == 5 and joined[0][8] == 3 and joined[0][9] == 4
+    # Unrelated track untouched.
+    assert {1: 9, 2: 2} in merged
+
+
+def test_merge_closure_tracks_new_track():
+    cl = Closure(
+        i=2, j=11, matches=np.array([[1, 2], [3, 4]]),
+        rel6=np.zeros(6, np.float32), num_inliers=50,
+    )
+    merged = merge_closure_tracks([], [cl])
+    assert {2: 1, 11: 2} in merged and {2: 3, 11: 4} in merged
+
+
+def test_detect_loop_closures_on_revisit():
+    """Descriptor-level detection: a sequence that leaves and revisits a
+    place must produce a verified closure between the two visits, and
+    far-apart disjoint views must not."""
+    from akaze_tpu.core.config import AkazeConfig
+    from akaze_tpu.frontend.pipeline import extract_batch
+    from akaze_tpu.sfm.loop_closure import detect_loop_closures
+    from akaze_tpu.utils.synthetic import textured_scene
+
+    base = textured_scene(240, 480, seed=13)
+    offs = [0, 2, 4, 150, 160, 170, 180, 4, 2, 0]  # away during t=3..6
+    frames = np.stack([base[60:180, o : o + 160] for o in offs])
+    cfg = AkazeConfig(
+        max_keypoints=256, per_level_candidates=64, detector_threshold=1e-4
+    )
+    feats = extract_batch(frames, cfg)
+    intr = (160.0, 160.0, 80.0, 60.0)
+    closures = detect_loop_closures(
+        feats, list(range(len(frames))), intr,
+        min_gap=5, min_matches=40, min_inliers=20,
+    )
+    assert closures, "no closure found across the revisit"
+    assert all(c.i <= 2 and c.j >= 7 for c in closures), [
+        (c.i, c.j, c.num_inliers) for c in closures
+    ]
+
+
+def _loopy_sequence(K=18, n_pts=400, noise=1e-3, seed=6, span=5):
+    """Camera circling a cloud, returning near its start.  Tracks are cut to
+    short CONTIGUOUS spans so odometry drift genuinely accumulates (no
+    long-range constraints), and tracks starting at frame 0 record their
+    re-observation at frame K-1 — what `merge_closure_tracks` would add after
+    a verified frame-0/frame-(K-1) closure."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-5, -4, 6], [5, 4, 18], (n_pts, 3))
+    poses = np.zeros((K, 6), np.float32)
+    for k in range(K):
+        a = 2.0 * np.pi * k / K
+        poses[k, :3] = [0.0, 0.25 * np.sin(a), 0.0]
+        poses[k, 3:] = [-1.2 * np.sin(a), 0.0, 0.6 * (1 - np.cos(a))]
+    observations, closure_obs = [], []
+    for p in range(n_pts):
+        tr = {}
+        for k in range(K):
+            r = np.asarray(rotvec_to_matrix(jnp.asarray(poses[k, :3])))
+            xc = r @ pts[p] + poses[k, 3:]
+            if xc[2] <= 0.1:
+                continue
+            uv = xc[:2] / xc[2] + rng.normal(0, noise, 2)
+            if np.abs(uv).max() < 0.7:
+                tr[k] = uv.astype(np.float32)
+        s = p % (K - span)
+        kept = {f: tr[f] for f in tr if s <= f < s + span}
+        if len(kept) >= 2:
+            if 0 in kept and (K - 1) in tr:
+                closure_obs.append((len(observations), tr[K - 1]))
+            observations.append(kept)
+    return observations, poses, closure_obs
+
+
+def test_pose_graph_closure_reduces_drift():
+    """VERDICT round-1 item 4 'Done' criterion: on a loopy sequence, drift
+    drops measurably when the closure is merged into the tracks AND the
+    pose graph runs — and the pose graph improves on track merging alone."""
+    observations, gt_poses, closure_obs = _loopy_sequence()
+    K = len(gt_poses)
+    assert len(closure_obs) >= 20
+    cfg = SfmConfig(ba_iterations=6)
+    rcfg = RansacConfig(num_iterations=256, inlier_threshold=5e-3)
+    base = run_incremental(observations, K, cfg, rcfg, ba_every=4)
+    ate0 = ate_rmse(camera_centers(base.poses), camera_centers(gt_poses))
+
+    # Closure-merged observations (as merge_closure_tracks would produce).
+    obs_m = [dict(tr) for tr in observations]
+    for ti, uv in closure_obs:
+        obs_m[ti][K - 1] = uv
+    merged = run_incremental(obs_m, K, cfg, rcfg, ba_every=4)
+    ate_m = ate_rmse(camera_centers(merged.poses), camera_centers(gt_poses))
+
+    # + verified closure edge (ground-truth relative pose, unit-scale t —
+    # what RANSAC essential measures) driving pose-graph optimization.
+    gt_j = jnp.asarray(gt_poses)
+    rel = np.array(relative(gt_j[K - 1], gt_j[0]), np.float32)
+    n = np.linalg.norm(rel[3:])
+    if n > 1e-9:
+        rel[3:] /= n
+    full = run_incremental(
+        obs_m, K, cfg, rcfg, ba_every=4, closures=[(0, K - 1, rel)]
+    )
+    ate_f = ate_rmse(camera_centers(full.poses), camera_centers(gt_poses))
+
+    # Full closure pipeline beats drift substantially...
+    assert ate_f < 0.8 * ate0, (ate0, ate_m, ate_f)
+    # ...and the pose-graph step improves on track merging alone.
+    assert ate_f < 0.95 * ate_m, (ate0, ate_m, ate_f)
