@@ -121,6 +121,24 @@ def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
     return valid & jnp.logical_not(suppressed)
 
 
+def subpixel_from_fields(cand: dict, ox_field: jax.Array, oy_field: jax.Array,
+                         statics: ScaleSpaceStatics):
+    """Sub-pixel refinement from dense offset fields (kernels/detect_pallas):
+    TWO flat gathers per candidate instead of nine scattered Ldet reads.
+    Rejected fits arrive as NaN."""
+    L = statics.num_levels
+    idx = cand["flat"]  # (L, K) within-level flat index
+    ox = jnp.take_along_axis(ox_field.reshape(L, -1), idx, axis=1)
+    oy = jnp.take_along_axis(oy_field.reshape(L, -1), idx, axis=1)
+    keep = jnp.logical_not(jnp.isnan(ox))
+    ox = jnp.where(keep, ox, 0.0)
+    oy = jnp.where(keep, oy, 0.0)
+    ratios = jnp.asarray(statics.ratios)[:, None]
+    xf = (cand["xi"].astype(jnp.float32) + ox) * ratios
+    yf = (cand["yi"].astype(jnp.float32) + oy) * ratios
+    return xf, yf, keep
+
+
 def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
     """2-var quadratic fit on Ldet per candidate; reject |offset| > 1
     (SURVEY.md §2 C9).  Returns octave-0 (x, y) float coords + keep mask."""
@@ -148,12 +166,20 @@ def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
     return xf, yf, keep
 
 
-def detect(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None) -> Keypoints:
-    """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA."""
+def detect(
+    ldet: jax.Array, statics: ScaleSpaceStatics, scores=None, subpix=None
+) -> Keypoints:
+    """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA.
+
+    scores/subpix: optional precomputed candidate scores and dense (ox, oy)
+    sub-pixel fields from kernels/detect_pallas (the fused TPU path)."""
     cfg = statics.config
     cand = find_candidates(ldet, statics, scores)
     cand["valid"] = cross_level_nms(cand, statics)
-    xf, yf, keep = subpixel_refine(cand, ldet, statics)
+    if subpix is not None:
+        xf, yf, keep = subpixel_from_fields(cand, subpix[0], subpix[1], statics)
+    else:
+        xf, yf, keep = subpixel_refine(cand, ldet, statics)
     valid = cand["valid"] & keep
 
     L, K = valid.shape

@@ -47,7 +47,13 @@ def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
         else:
             stacks = build_scale_space(img, ss_statics)
     with jax.named_scope("akaze_detect"):
-        kps = detect(stacks["Ldet"], ss_statics)
+        if _use_pallas_scale_space():
+            from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
+
+            scores, ox, oy = detect_scores_pallas(stacks["Ldet"], ss_statics)
+            kps = detect(stacks["Ldet"], ss_statics, scores, (ox, oy))
+        else:
+            kps = detect(stacks["Ldet"], ss_statics)
     with jax.named_scope("akaze_describe"):
         return describe(kps, stacks, ss_statics, d_statics)
 
@@ -67,23 +73,26 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
             stacks = jax.vmap(lambda im: build_scale_space(im, ss_statics))(imgs)
     with jax.named_scope("akaze_detect"):
         if _use_pallas_scale_space():
-            # Fused score kernel on a native (B*L) grid; candidate selection
-            # and NMS then vmap over the precomputed scores.
+            # Fused kernel on a native (B*L) grid emits candidate scores AND
+            # dense sub-pixel fields; candidate selection and NMS then vmap
+            # over the precomputed arrays (two flat gathers replace nine
+            # scattered Ldet reads per candidate — round-2 profile win).
             from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
 
-            scores = detect_scores_pallas(stacks["Ldet"], ss_statics)
-            kps = jax.vmap(lambda ld, sc: detect(ld, ss_statics, sc))(
-                stacks["Ldet"], scores
-            )
+            scores, ox, oy = detect_scores_pallas(stacks["Ldet"], ss_statics)
+            kps = jax.vmap(
+                lambda ld, sc, a, b: detect(ld, ss_statics, sc, (a, b))
+            )(stacks["Ldet"], scores, ox, oy)
         else:
             kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):
-        # vmapped describe beats the chunk-skipping lax.map variant
-        # (describe_batched) on batch-16 VGA: the map's sequential steps
-        # underutilize the chip more than the dead-chunk skip saves.
-        return jax.vmap(
-            lambda k, s: describe(k, s, ss_statics, d_statics)
-        )(kps, stacks)
+        # Chunk-skipping describe (lax.map + scalar cond per chunk): frames
+        # rarely fill the keypoint capacity, and dead chunks are skipped at
+        # runtime.  Round-2 profile, batch-16 VGA @ ~210 detections: 20.5 ms
+        # vs 64.3 ms for the plain vmapped path.
+        from akaze_tpu.frontend.describe import describe_batched
+
+        return describe_batched(kps, stacks, ss_statics, d_statics)
 
 
 @functools.lru_cache(maxsize=32)

@@ -87,17 +87,27 @@ def _conductivity(lx, ly, k, kind: Diffusivity):
     raise AssertionError(kind)
 
 
-def _diffusion_step(lt, g, tau):
-    lp = _edge_pad(lt, 1, 1)
+def _diffusion_chain(lt, g, taus):
+    """All tau sweeps of one level with the conductivity terms hoisted:
+    the four (g_c + g_neighbor) sums are invariant across sweeps, so they
+    are computed once instead of re-padded and re-added every sweep."""
     gp = _edge_pad(g, 1, 1)
-    c, cg = lp[1:-1, 1:-1], gp[1:-1, 1:-1]
-    step = (
-        (cg + gp[1:-1, 2:]) * (lp[1:-1, 2:] - c)
-        + (cg + gp[1:-1, :-2]) * (lp[1:-1, :-2] - c)
-        + (cg + gp[2:, 1:-1]) * (lp[2:, 1:-1] - c)
-        + (cg + gp[:-2, 1:-1]) * (lp[:-2, 1:-1] - c)
-    )
-    return lt + jnp.float32(0.5 * tau) * step
+    cg = gp[1:-1, 1:-1]
+    ge = cg + gp[1:-1, 2:]
+    gw = cg + gp[1:-1, :-2]
+    gs = cg + gp[2:, 1:-1]
+    gn = cg + gp[:-2, 1:-1]
+    for tau in taus:
+        lp = _edge_pad(lt, 1, 1)
+        c = lp[1:-1, 1:-1]
+        step = (
+            ge * (lp[1:-1, 2:] - c)
+            + gw * (lp[1:-1, :-2] - c)
+            + gs * (lp[2:, 1:-1] - c)
+            + gn * (lp[:-2, 1:-1] - c)
+        )
+        lt = lt + jnp.float32(0.5 * tau) * step
+    return lt
 
 
 def _detector_chain(lsmooth, sigma_size):
@@ -127,8 +137,7 @@ def _level_kernel(k_ref, seed_ref, lt_out, lx_out, ly_out, ldet_out,
         gx = _scharr(lsmooth, 1, 1)
         gy = _scharr(lsmooth, 0, 1)
         g = _conductivity(gx, gy, k_ref[pl.program_id(0)], diffusivity)
-        for tau in taus:  # static unroll, all VMEM-resident
-            x = _diffusion_step(x, g, tau)
+        x = _diffusion_chain(x, g, taus)  # static unroll, all VMEM-resident
     lt_out[0] = x
     lx, ly, ldet = _detector_chain(lsmooth, sigma_size)
     lx_out[0] = lx
@@ -183,13 +192,69 @@ def fused_level(seed, k, spec, diffusivity, first_level=False):
     return lt[0], lx[0], ly[0], ldet[0]
 
 
+def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first):
+    """One (frame,) program running ALL levels of one octave chained in
+    VMEM: each level's Lt seeds the next without an HBM round trip.
+    out_refs: per level (lt, lx, ly, ldet)."""
+    x = seed_ref[0]
+    g1k = gaussian_kernel(1.0)
+    kf = k_ref[pl.program_id(0)]
+    for li, spec in enumerate(specs):
+        if first and li == 0:
+            # Level 0: seed is already G_{sigma0} * img; Lsmooth == Lt.
+            lsmooth = x
+        else:
+            lsmooth = _sep_conv(x, g1k, g1k)
+            gx = _scharr(lsmooth, 1, 1)
+            gy = _scharr(lsmooth, 0, 1)
+            g = _conductivity(gx, gy, kf, diffusivity)
+            x = _diffusion_chain(x, g, spec.taus)
+        out_refs[4 * li][0] = x
+        lx, ly, ldet = _detector_chain(lsmooth, spec.sigma_size)
+        out_refs[4 * li + 1][0] = lx
+        out_refs[4 * li + 2][0] = ly
+        out_refs[4 * li + 3][0] = ldet
+
+
+@functools.partial(jax.jit, static_argnames=("specs", "diffusivity", "first"))
+def fused_octave_batched(seed, k, specs, diffusivity: Diffusivity, first: bool):
+    """Run one whole octave for a batch of frames: grid = one program per
+    frame, levels chained in VMEM.  Returns a flat list of (B, H, W) arrays,
+    4 per level (lt, lx, ly, ldet)."""
+    b, h, w = seed.shape
+    n_out = 4 * len(specs)
+    kernel = functools.partial(
+        _octave_kernel, specs=specs, diffusivity=diffusivity, first=first
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * n_out,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * n_out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(k.reshape(b).astype(jnp.float32), seed)
+
+
 def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
     """Batched drop-in for frontend.scale_space.build_scale_space on
     (B, H, W) frames; same stacked (B, L, H0, W0) output contract.
 
-    The batch rides the pallas grid natively (one program per frame per
-    level) rather than jax.vmap — this environment's remote Mosaic compiler
-    rejects the vmap-generated variant at B >= 8."""
+    The batch rides the pallas grid natively (one program per frame) rather
+    than jax.vmap — this environment's remote Mosaic compiler rejects the
+    vmap-generated variant at B >= 8.  Levels are grouped per OCTAVE into
+    one kernel each (4 calls instead of 16): the inter-level Lt round trips
+    stay in VMEM and the per-call overhead amortizes across sublevels."""
     from akaze_tpu.frontend.scale_space import (
         compute_contrast_factor, gaussian_blur, half_size, stack_levels,
     )
@@ -198,21 +263,25 @@ def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
     specs = statics.specs
     k = jax.vmap(lambda im: compute_contrast_factor(im, config))(imgs)  # (B,)
     seed = gaussian_blur(imgs.astype(jnp.float32), config.base_scale_offset)
+    octaves: list[tuple] = []
+    for spec in specs:
+        if not octaves or spec.octave != octaves[-1][0]:
+            octaves.append((spec.octave, []))
+        octaves[-1][1].append(spec)
     lts, lxs, lys, ldets = [], [], [], []
-    for i, spec in enumerate(specs):
-        if i > 0:
-            if spec.octave > specs[i - 1].octave:
-                seed = half_size(lts[-1])
-                k = k * config.contrast_octave_decay
-            else:
-                seed = lts[-1]
-        lt, lx, ly, ldet = fused_level_batched(
-            seed, k, spec, config.diffusivity, first_level=(i == 0)
+    for oi, (_, ospecs) in enumerate(octaves):
+        if oi > 0:
+            seed = half_size(lts[-1])
+            k = k * config.contrast_octave_decay
+        outs = fused_octave_batched(
+            seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0)
         )
-        lts.append(lt)
-        lxs.append(lx)
-        lys.append(ly)
-        ldets.append(ldet)
+        for li in range(len(ospecs)):
+            lts.append(outs[4 * li])
+            lxs.append(outs[4 * li + 1])
+            lys.append(outs[4 * li + 2])
+            ldets.append(outs[4 * li + 3])
+        seed = lts[-1]
     return {
         "Lt": stack_levels(lts, specs),
         "Lx": stack_levels(lxs, specs),
