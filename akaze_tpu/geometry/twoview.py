@@ -88,19 +88,39 @@ def estimate_relative_pose_fn(
     scores = jnp.sum(inl_h, axis=-1)
     best = jnp.argmax(scores)
 
-    # --- refit on the best hypothesis's inliers (weighted nullspace) ---
-    w = inl_h[best].astype(jnp.float32)  # (N,)
+    # --- guarded iterated refit (LO-RANSAC style) ---
+    # Least-squares E on the running inlier set via DIRECT SVD of the
+    # weighted design matrix (the round-1 normal-equation eigh squared the
+    # condition number and could collapse a 90%-inlier consensus in f32).
+    # Each round is accepted only if it grows the inlier count — on
+    # near-degenerate structure (few planes) an unguarded refit can drift
+    # onto a spurious nullspace direction even in f64.
     a = jnp.einsum("ni,nj->nij", x2, x1).reshape(n, 9)
-    ata = (a * w[:, None]).T @ a
-    _, vecs = jnp.linalg.eigh(ata)
-    e = vecs[:, 0].reshape(3, 3)
-    u_, _, vt = jnp.linalg.svd(e)
-    E = u_ @ (jnp.asarray([1.0, 1.0, 0.0], e.dtype)[:, None] * vt)
-    inliers = (_sampson_sq(E, x1, x2) < thr2) & mask
-    # Guard: keep the RANSAC hypothesis if the refit degraded the inlier set.
-    better = jnp.sum(inliers) >= scores[best]
-    E = jnp.where(better, E, E_h[best])
-    inliers = jnp.where(better, inliers, inl_h[best])
+    s_ess = jnp.asarray([1.0, 1.0, 0.0], E_h.dtype)
+
+    def refit_round(carry, _):
+        E, inliers, count = carry
+        w = inliers.astype(jnp.float32)
+        _, _, vt = jnp.linalg.svd(a * w[:, None], full_matrices=True)
+        e = vt[-1].reshape(3, 3)
+        u_, _, vt2 = jnp.linalg.svd(e)
+        E_new = u_ @ (s_ess[:, None] * vt2)
+        inl_new = (_sampson_sq(E_new, x1, x2) < thr2) & mask
+        cnt_new = jnp.sum(inl_new)
+        # Accept on ties too: when every match is already an inlier (loose
+        # threshold), the hypothesis can't be beaten on count but the LS
+        # refit over all inliers is still far more accurate than any single
+        # 8-point solve.  Strictly-worse refits (the near-degenerate
+        # collapse case) remain rejected.
+        better = cnt_new >= count
+        E = jnp.where(better, E_new, E)
+        inliers = jnp.where(better, inl_new, inliers)
+        count = jnp.maximum(cnt_new, count)
+        return (E, inliers, count), None
+
+    (E, inliers, _), _ = jax.lax.scan(
+        refit_round, (E_h[best], inl_h[best], scores[best]), None, length=3
+    )
 
     R, t = _recover_pose(E, x1, x2, inliers)
     return TwoViewResult(E=E, R=R, t=t, inliers=inliers, num_inliers=jnp.sum(inliers))

@@ -143,6 +143,53 @@ def illumination_ramp_scene(
     return img.astype(np.float32)
 
 
+def multi_plane_pair(height: int = 240, width: int = 320, seed: int = 5,
+                     rows: int = 2, cols: int = 3):
+    """Calibrated two-view benchmark pair with known relative pose.
+
+    The second view observes a rows x cols grid of PLANES (distinct
+    normals/depths) of the textured scene under a known (R, t).  A single
+    plane is a degenerate configuration for the essential matrix, and even
+    two planes leave the 8-point nullspace poorly separated (measured:
+    second singular value within 1.4x of the smallest) — six planes give a
+    well-posed E.  Returns (img_a, img_b, R, t, intrinsics) with |t| = 1
+    (monocular gauge).  Establishes the golden-model two-view pose error
+    bound (BASELINE.md) and gates the device pipeline against it.
+    """
+    rng = np.random.default_rng(seed + 1000)
+    img_a = textured_scene(height, width, seed=seed)
+    rvec = np.array([0.02, -0.03, 0.01])
+    th = np.linalg.norm(rvec)
+    ax = rvec / th
+    kx = np.array(
+        [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+    )
+    R = np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * (kx @ kx)
+    t = np.array([0.6, 0.1, 0.15])
+    t /= np.linalg.norm(t)
+    K = np.array([[width, 0, width / 2], [0, width, height / 2], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    img_b = np.zeros_like(img_a)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for r in range(rows):
+        for c in range(cols):
+            n = np.array(
+                [rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35), 1.0]
+            )
+            n /= np.linalg.norm(n)
+            d = rng.uniform(4.0, 10.0)
+            Hp = K @ (R - np.outer(t, n) / d) @ Kinv  # pixel homography a -> b
+            warp = warp_homography(img_a, Hp)
+            region = (
+                (yy * rows // height == r) & (xx * cols // width == c)
+            )
+            img_b = np.where(region, warp, img_b)
+    return (
+        img_a, img_b.astype(np.float32), R, t,
+        (float(width), float(width), width / 2.0, height / 2.0),
+    )
+
+
 SCENE_CLASSES = {
     "textured": textured_scene,
     "rotated": rotated_scene,

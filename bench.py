@@ -127,6 +127,31 @@ def bench_two_view() -> None:
     pps = reps / (time.perf_counter() - t0)
     _emit("two_view_pose_pairs_per_s", pps, "pairs/s")
 
+    # Accuracy vs the recorded reference bound (BASELINE.md round 2:
+    # golden-model bound rot <= 1.5 deg / t-dir <= 6 deg on the calibrated
+    # multi-plane benchmark).
+    from akaze_tpu.matching.hamming import match_features
+    from akaze_tpu.utils.synthetic import multi_plane_pair
+
+    img_a, img_b, R_gt, t_gt, intr2 = multi_plane_pair(seed=6)
+    feats = extract_batch_fn(jnp.asarray(np.stack([img_a, img_b])), config)
+    mm = match_features(
+        jax.tree.map(lambda x: x[0], feats), jax.tree.map(lambda x: x[1], feats)
+    )
+    kp2 = feats.keypoints
+    x1b = normalize_points(kp2.x[0], kp2.y[0], intr2)
+    x2b = normalize_points(kp2.x[1][mm.idx_b], kp2.y[1][mm.idx_b], intr2)
+    pose = estimate_relative_pose_fn(
+        x1b, x2b, mm.accepted, jax.random.PRNGKey(0),
+        RansacConfig(num_iterations=512, inlier_threshold=2e-3),
+    )
+    R_est = np.asarray(pose.R)
+    t_est = np.asarray(pose.t)
+    rot = np.degrees(np.arccos(np.clip((np.trace(R_est @ R_gt.T) - 1) / 2, -1, 1)))
+    tdir = np.degrees(np.arccos(np.clip(abs(t_est @ t_gt), -1, 1)))
+    _emit("two_view_rot_err_deg", rot, "deg", rot / 1.5)  # bound = 1.5 deg
+    _emit("two_view_tdir_err_deg", tdir, "deg", tdir / 6.0)  # bound = 6 deg
+
 
 def bench_conductivity() -> None:
     """Config 3: g1 / Weickert variants, headline-shaped throughput."""
