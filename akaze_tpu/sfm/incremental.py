@@ -222,6 +222,7 @@ def run_incremental(
     checkpoint_path=None,
     closures=None,
     pgo_iterations: int = 12,
+    on_window=None,
 ) -> SfmResult:
     """Incremental SfM over tracked observations.
 
@@ -240,6 +241,10 @@ def run_incremental(
     map after every BA round; pass `resume` (an SfmCheckpoint) to restart
     from its `next_keyframe` — the per-window loop is idempotent, so a
     killed run resumes exactly where the last checkpoint left it.
+
+    on_window: optional observability hook `f(k_end, poses, num_points)`
+    called after each window's BA/checkpoint (progress reporting; the
+    fault-injection test also uses it to pace the run it kills).
     """
     sconfig = sconfig or SfmConfig()
     rconfig = rconfig or RansacConfig()
@@ -287,29 +292,59 @@ def run_incremental(
         for row in assigned.values():
             valid[row] = True
     else:
-        start_k = 2
-        # ---- two-view initialization from frames 0 and 1 ----
-        t0, t1 = 0, 1
-        pairs = [ti for ti, tr in enumerate(observations) if t0 in tr and t1 in tr]
-        if len(pairs) < 8:
-            raise ValueError(
-                f"two-view initialization needs >=8 tracks shared by frames "
-                f"{t0} and {t1}; got {len(pairs)}"
+        # ---- two-view initialization: first pair (0, j) with real parallax.
+        # A low-parallax pair leaves the essential matrix ill-conditioned
+        # (measured on the synthetic benchmark: 1.1 deg median parallax gives
+        # ~50 deg translation-direction error; >= 2 deg gives < 2 deg), so
+        # scan forward until the median rotation-compensated bearing angle
+        # clears a threshold, falling back to the widest pair seen. ----
+        best = None
+        for j in range(1, min(6, K)):
+            pairs = [
+                ti for ti, tr in enumerate(observations) if 0 in tr and j in tr
+            ]
+            if len(pairs) < 8:
+                continue
+            x1 = np.array(
+                [np.append(observations[ti][0], 1.0) for ti in pairs], np.float32
             )
-        x1 = np.array(
-            [np.append(observations[ti][t0], 1.0) for ti in pairs], np.float32
-        )
-        x2 = np.array(
-            [np.append(observations[ti][t1], 1.0) for ti in pairs], np.float32
-        )
-        res = estimate_relative_pose(
-            jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool), rconfig
-        )
+            x2 = np.array(
+                [np.append(observations[ti][j], 1.0) for ti in pairs], np.float32
+            )
+            res = estimate_relative_pose(
+                jnp.asarray(x1), jnp.asarray(x2),
+                jnp.ones(len(pairs), bool), rconfig,
+            )
+            p1 = x1 / np.linalg.norm(x1, axis=1, keepdims=True)
+            p2r = x2 @ np.asarray(res.R)
+            p2r /= np.linalg.norm(p2r, axis=1, keepdims=True)
+            med_parallax = float(np.degrees(np.median(
+                np.arccos(np.clip(np.sum(p1 * p2r, axis=1), -1.0, 1.0))
+            )))
+            cand = (j, pairs, x1, x2, res, med_parallax)
+            if best is None or med_parallax > best[5]:
+                best = cand
+            if med_parallax >= 2.0 and int(res.num_inliers) >= max(
+                8, int(0.3 * len(pairs))
+            ):
+                best = cand
+                break
+        if best is None:
+            raise ValueError(
+                "two-view initialization failed: no early frame pair shares "
+                ">=8 tracks with frame 0"
+            )
+        j_init, pairs, x1, x2, res, _ = best
+        start_k = 1  # every frame >= 1 is PnP'd/refined by the window loop
         R = np.asarray(res.R)
         t = np.asarray(res.t)  # |t| = 1 fixes the gauge scale
-        poses[t0] = 0.0
-        poses[t1, :3] = np.asarray(matrix_to_rotvec(jnp.asarray(R)))
-        poses[t1, 3:] = t
+        poses[0] = 0.0
+        poses[j_init, :3] = np.asarray(matrix_to_rotvec(jnp.asarray(R)))
+        poses[j_init, 3:] = t
+        # Frames before j_init warm-start the window loop from the init pose
+        # scaled linearly (PnP immediately refines them).
+        for k in range(1, j_init):
+            poses[k] = poses[j_init] * (k / j_init)
 
         # Map: triangulate the init inliers.
         inl = np.asarray(res.inliers)
@@ -449,6 +484,8 @@ def run_incremental(
                         next_keyframe=k_end + 1,
                     ),
                 )
+        if on_window is not None:
+            on_window(k_end, poses, next_row)
         k = k_end + 1
 
     track_point = {ti: row for ti, row in assigned.items() if valid[row]}
@@ -478,8 +515,12 @@ def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
                 obs_valid[row, q] = True
                 q += 1
     fixed = np.zeros(len(poses), bool)
+    # Gauge: pose 0 pins the frame (6 dof).  The monocular scale gauge is
+    # left to LM damping rather than freezing pose 1 — a frozen pose 1
+    # permanently bakes any two-view init error into the map (round-2
+    # finding), while the near-null scale direction only drifts at the
+    # damping scale and all trajectory metrics are scale-aligned anyway.
     fixed[0] = True
-    fixed[1] = True  # gauge: origin + scale
     fixed[num_kf:] = True  # untouched future slots
     # Bucket-pad the point count (next power of two) so the growing map
     # reuses compiled BA executables instead of recompiling every call,
