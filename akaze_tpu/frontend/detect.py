@@ -73,6 +73,49 @@ def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None):
     return {"resp": resp, "yi": yi, "xi": xi, "flat": idx, "valid": valid}
 
 
+def find_candidates_batched(scores: jax.Array, statics: ScaleSpaceStatics):
+    """Batched candidate selection over precomputed scores (B, L, H0, W0).
+
+    Runs `approx_max_k` PER OCTAVE on the tight (h, w) slice of each level:
+    deeper octaves occupy 1/4^o of the padded plane, so the padded-layout
+    reduction wasted ~4x its work on -3e38 filler.  Returns the same
+    candidate dict as find_candidates with a leading (B,) axis."""
+    cfg = statics.config
+    K = cfg.per_level_candidates
+    B = scores.shape[0]
+    w0 = statics.w0
+    resp_g, yi_g, xi_g = [], [], []
+    lvl = 0
+    L = statics.num_levels
+    while lvl < L:
+        h, w = statics.heights[lvl], statics.widths[lvl]
+        n = 1
+        while lvl + n < L and statics.heights[lvl + n] == h:
+            n += 1
+        flat = scores[:, lvl : lvl + n, :h, :w].reshape(B * n, h * w)
+        k = min(K, h * w)
+        resp, idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
+        if k < K:
+            resp = jnp.pad(resp, ((0, 0), (0, K - k)), constant_values=_NEG)
+            idx = jnp.pad(idx, ((0, 0), (0, K - k)))
+        resp_g.append(resp.reshape(B, n, K))
+        yi = (idx // w).reshape(B, n, K)
+        xi = (idx % w).reshape(B, n, K)
+        yi_g.append(yi)
+        xi_g.append(xi)
+        lvl += n
+    resp = jnp.concatenate(resp_g, axis=1)
+    yi = jnp.concatenate(yi_g, axis=1)
+    xi = jnp.concatenate(xi_g, axis=1)
+    return {
+        "resp": resp,
+        "yi": yi,
+        "xi": xi,
+        "flat": yi * w0 + xi,  # index into the PADDED per-level plane
+        "valid": resp > _NEG,
+    }
+
+
 def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
     """Symmetric NMS over same + adjacent levels; returns surviving mask (L, K)."""
     L = statics.num_levels
@@ -167,14 +210,19 @@ def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
 
 
 def detect(
-    ldet: jax.Array, statics: ScaleSpaceStatics, scores=None, subpix=None
+    ldet: jax.Array, statics: ScaleSpaceStatics, scores=None, subpix=None,
+    cand=None,
 ) -> Keypoints:
     """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA.
 
     scores/subpix: optional precomputed candidate scores and dense (ox, oy)
-    sub-pixel fields from kernels/detect_pallas (the fused TPU path)."""
+    sub-pixel fields from kernels/detect_pallas (the fused TPU path);
+    cand: optional precomputed candidate dict (find_candidates_batched)."""
     cfg = statics.config
-    cand = find_candidates(ldet, statics, scores)
+    if cand is None:
+        cand = find_candidates(ldet, statics, scores)
+    else:
+        cand = dict(cand)
     cand["valid"] = cross_level_nms(cand, statics)
     if subpix is not None:
         xf, yf, keep = subpixel_from_fields(cand, subpix[0], subpix[1], statics)

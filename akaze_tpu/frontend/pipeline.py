@@ -77,12 +77,16 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
             # dense sub-pixel fields; candidate selection and NMS then vmap
             # over the precomputed arrays (two flat gathers replace nine
             # scattered Ldet reads per candidate — round-2 profile win).
+            from akaze_tpu.frontend.detect import find_candidates_batched
             from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
 
             scores, ox, oy = detect_scores_pallas(stacks["Ldet"], ss_statics)
+            # Candidate top-K runs batched, per octave on tight slices
+            # (approx_max_k over the padded plane wasted 4x its work).
+            cand = find_candidates_batched(scores, ss_statics)
             kps = jax.vmap(
-                lambda ld, sc, a, b: detect(ld, ss_statics, sc, (a, b))
-            )(stacks["Ldet"], scores, ox, oy)
+                lambda ld, a, b, c: detect(ld, ss_statics, None, (a, b), c)
+            )(stacks["Ldet"], ox, oy, cand)
         else:
             kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):

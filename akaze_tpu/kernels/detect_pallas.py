@@ -37,17 +37,17 @@ def _detect_kernel(
     border_ref, hs_ref, ws_ref, ldet_ref, score_ref, ox_ref, oy_ref,
     *, threshold, L,
 ):
+    from akaze_tpu.kernels.fed_pallas import _shift_x, _shift_y
+
     lvl = jax.lax.rem(pl.program_id(0), L)
     x = ldet_ref[0]  # (H0, W0)
     h0, w0 = x.shape
-    # 3x3 neighborhood via one padded copy (edge replicate; pad values never
-    # win inside the interior mask, and candidates are interior so the
-    # sub-pixel fit only ever sees true neighbors).
-    xp = jnp.concatenate([x[:1], x, x[-1:]], axis=0)
-    xp = jnp.concatenate([xp[:, :1], xp, xp[:, -1:]], axis=1)
 
+    # 3x3 neighborhood via aligned roll+select shifts (edge replicate;
+    # boundary values never win inside the interior mask, and candidates
+    # are interior so the sub-pixel fit only ever sees true neighbors).
     def sh(dy, dx):
-        return xp[dy : dy + h0, dx : dx + w0]
+        return _shift_x(_shift_y(x, dy - 1), dx - 1)
 
     n_e, n_w = sh(1, 2), sh(1, 0)
     n_s, n_n = sh(2, 1), sh(0, 1)

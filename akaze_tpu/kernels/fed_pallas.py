@@ -34,34 +34,53 @@ from akaze_tpu.core.fed import EvolutionSpec
 from akaze_tpu.golden.image import gaussian_kernel, scharr_kernels
 
 
-def _edge_pad(x: jax.Array, hy: int, hx: int) -> jax.Array:
-    """Replicate-pad a (H, W) VMEM value (jnp.pad(mode='edge') does not
-    lower in Mosaic; explicit edge-slice concats do)."""
-    if hy:
-        x = jnp.concatenate([x[:1]] * hy + [x] + [x[-1:]] * hy, axis=0)
-    if hx:
-        x = jnp.concatenate([x[:, :1]] * hx + [x] + [x[:, -1:]] * hx, axis=1)
-    return x
+def _shift_y(x: jax.Array, d: int) -> jax.Array:
+    """result[..., y, :] = x[..., clamp(y+d, 0, H-1), :] (edge replicate)
+    via a circular roll + boundary select.  Rolls keep every intermediate on
+    the aligned (H, W) tile grid — the concat-pad formulation materialized
+    (H+2k, W) copies whose odd sublane offsets force relayouts on every
+    shifted slice."""
+    if d == 0:
+        return x
+    h = x.shape[-2]
+    ax = x.ndim - 2
+    out = pltpu.roll(x, (-d) % h, ax)  # roll requires a non-negative shift
+    ys = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+    if d > 0:
+        return jnp.where(ys >= h - d, x[..., h - 1 : h, :], out)
+    return jnp.where(ys < -d, x[..., 0:1, :], out)
+
+
+def _shift_x(x: jax.Array, d: int) -> jax.Array:
+    """result[..., x] = x[..., clamp(x+d, 0, W-1)] (edge replicate)."""
+    if d == 0:
+        return x
+    w = x.shape[-1]
+    ax = x.ndim - 1
+    out = pltpu.roll(x, (-d) % w, ax)  # roll requires a non-negative shift
+    xs = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+    if d > 0:
+        return jnp.where(xs >= w - d, x[..., w - 1 : w], out)
+    return jnp.where(xs < -d, x[..., 0:1], out)
 
 
 def _sep_conv(x: jax.Array, ky: np.ndarray, kx: np.ndarray) -> jax.Array:
-    """Separable correlation with edge padding on a (H, W) VMEM value."""
-    h, w = x.shape
+    """Separable correlation with edge replication on a (H, W) VMEM value
+    (same tap order / f32 accumulation as the golden model)."""
     hy = len(ky) // 2
-    xp = _edge_pad(x, hy, 0)
     acc = None
     for t, wgt in enumerate(np.asarray(ky, np.float32)):
         if wgt == 0.0:
             continue
-        term = wgt * xp[t : t + h, :]
+        term = wgt * _shift_y(x, t - hy)
         acc = term if acc is None else acc + term
     hx = len(kx) // 2
-    xp = _edge_pad(acc, 0, hx)
+    x = acc
     acc = None
     for t, wgt in enumerate(np.asarray(kx, np.float32)):
         if wgt == 0.0:
             continue
-        term = wgt * xp[:, t : t + w]
+        term = wgt * _shift_x(x, t - hx)
         acc = term if acc is None else acc + term
     return acc
 
@@ -90,21 +109,17 @@ def _conductivity(lx, ly, k, kind: Diffusivity):
 def _diffusion_chain(lt, g, taus):
     """All tau sweeps of one level with the conductivity terms hoisted:
     the four (g_c + g_neighbor) sums are invariant across sweeps, so they
-    are computed once instead of re-padded and re-added every sweep."""
-    gp = _edge_pad(g, 1, 1)
-    cg = gp[1:-1, 1:-1]
-    ge = cg + gp[1:-1, 2:]
-    gw = cg + gp[1:-1, :-2]
-    gs = cg + gp[2:, 1:-1]
-    gn = cg + gp[:-2, 1:-1]
+    are computed once instead of re-derived every sweep."""
+    ge = g + _shift_x(g, 1)
+    gw = g + _shift_x(g, -1)
+    gs = g + _shift_y(g, 1)
+    gn = g + _shift_y(g, -1)
     for tau in taus:
-        lp = _edge_pad(lt, 1, 1)
-        c = lp[1:-1, 1:-1]
         step = (
-            ge * (lp[1:-1, 2:] - c)
-            + gw * (lp[1:-1, :-2] - c)
-            + gs * (lp[2:, 1:-1] - c)
-            + gn * (lp[:-2, 1:-1] - c)
+            ge * (_shift_x(lt, 1) - lt)
+            + gw * (_shift_x(lt, -1) - lt)
+            + gs * (_shift_y(lt, 1) - lt)
+            + gn * (_shift_y(lt, -1) - lt)
         )
         lt = lt + jnp.float32(0.5 * tau) * step
     return lt
@@ -192,13 +207,24 @@ def fused_level(seed, k, spec, diffusivity, first_level=False):
     return lt[0], lx[0], ly[0], ldet[0]
 
 
-def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first):
-    """One (frame,) program running ALL levels of one octave chained in
-    VMEM: each level's Lt seeds the next without an HBM round trip.
-    out_refs: per level (lt, lx, ly, ldet)."""
-    x = seed_ref[0]
+def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f):
+    """One program running ALL levels of one octave for `f` frames chained
+    in VMEM: each level's Lt seeds the next without an HBM round trip.
+    out_refs: per level (lt, lx, ly, ldet), blocks (f, h, w).
+
+    f > 1 amortizes Mosaic's fixed per-op cost across frames — measured:
+    an 80x60 level costs almost as much as a 640x480 one per program, so
+    deep octaves are op-issue-bound, not element-bound."""
+    x = seed_ref[...]  # (f, h, w)
     g1k = gaussian_kernel(1.0)
-    kf = k_ref[pl.program_id(0)]
+    base = pl.program_id(0) * f
+    # Per-frame contrast factors as an (f, 1, 1) vector.  Built by selecting
+    # SMEM scalars against an iota — Mosaic cannot lower a reshape of a
+    # scalar-built 1-D vector to (f, 1, 1).
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (f, 1, 1), 0)
+    kf = jnp.full((f, 1, 1), k_ref[base], jnp.float32)
+    for j in range(1, f):
+        kf = jnp.where(fidx == j, k_ref[base + j], kf)
     for li, spec in enumerate(specs):
         if first and li == 0:
             # Level 0: seed is already G_{sigma0} * img; Lsmooth == Lt.
@@ -209,31 +235,36 @@ def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first):
             gy = _scharr(lsmooth, 0, 1)
             g = _conductivity(gx, gy, kf, diffusivity)
             x = _diffusion_chain(x, g, spec.taus)
-        out_refs[4 * li][0] = x
+        out_refs[4 * li][...] = x
         lx, ly, ldet = _detector_chain(lsmooth, spec.sigma_size)
-        out_refs[4 * li + 1][0] = lx
-        out_refs[4 * li + 2][0] = ly
-        out_refs[4 * li + 3][0] = ldet
+        out_refs[4 * li + 1][...] = lx
+        out_refs[4 * li + 2][...] = ly
+        out_refs[4 * li + 3][...] = ldet
 
 
-@functools.partial(jax.jit, static_argnames=("specs", "diffusivity", "first"))
-def fused_octave_batched(seed, k, specs, diffusivity: Diffusivity, first: bool):
-    """Run one whole octave for a batch of frames: grid = one program per
-    frame, levels chained in VMEM.  Returns a flat list of (B, H, W) arrays,
-    4 per level (lt, lx, ly, ldet)."""
+@functools.partial(
+    jax.jit, static_argnames=("specs", "diffusivity", "first", "f")
+)
+def fused_octave_batched(
+    seed, k, specs, diffusivity: Diffusivity, first: bool, f: int = 1
+):
+    """Run one whole octave for a batch of frames with `f` frames per
+    program (f must divide B), levels chained in VMEM.  Returns a flat list
+    of (B, H, W) arrays, 4 per level (lt, lx, ly, ldet)."""
     b, h, w = seed.shape
+    assert b % f == 0
     n_out = 4 * len(specs)
     kernel = functools.partial(
-        _octave_kernel, specs=specs, diffusivity=diffusivity, first=first
+        _octave_kernel, specs=specs, diffusivity=diffusivity, first=first, f=f
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // f,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((f, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
         ] * n_out,
     )
     return pl.pallas_call(
@@ -268,13 +299,18 @@ def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
         if not octaves or spec.octave != octaves[-1][0]:
             octaves.append((spec.octave, []))
         octaves[-1][1].append(spec)
+    b = imgs.shape[0]
     lts, lxs, lys, ldets = [], [], [], []
     for oi, (_, ospecs) in enumerate(octaves):
         if oi > 0:
             seed = half_size(lts[-1])
             k = k * config.contrast_octave_decay
+        # One frame per program.  Batching frames per program (f > 1) to
+        # amortize per-op cost was tried for the deep octaves and abandoned:
+        # Mosaic compile time explodes on the narrow (f, 60, 80)-shaped
+        # unrolled bodies (>> 10 min for octave 3 at f=16).
         outs = fused_octave_batched(
-            seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0)
+            seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0), f=1
         )
         for li in range(len(ospecs)):
             lts.append(outs[4 * li])

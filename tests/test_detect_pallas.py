@@ -42,6 +42,27 @@ def test_detect_scores_pallas_matches_xla():
     assert ox.shape == ldet.shape and oy.shape == ldet.shape
 
 
+def test_batched_candidates_match_per_frame():
+    """Per-octave tight-slice approx_max_k == padded-plane per-frame path."""
+    from akaze_tpu.frontend.detect import find_candidates_batched
+
+    _, st, stacks = _stacks()
+    ldet = stacks["Ldet"]
+    with pltpu.force_tpu_interpret_mode():
+        scores, ox, oy = detect_scores_pallas(ldet, st)
+    ref = jax.vmap(lambda l, s, a, b: detect(l, st, s, (a, b)))(
+        ldet, scores, ox, oy
+    )
+    cand = find_candidates_batched(scores, st)
+    got = jax.vmap(lambda l, a, b, c: detect(l, st, None, (a, b), c))(
+        ldet, ox, oy, cand
+    )
+    v = np.asarray(ref.valid)
+    assert np.array_equal(np.asarray(got.valid), v)
+    np.testing.assert_allclose(np.asarray(got.x)[v], np.asarray(ref.x)[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.y)[v], np.asarray(ref.y)[v], atol=1e-5)
+
+
 def test_detect_with_fields_matches_gather_path():
     """detect() fed the dense sub-pixel fields == the 9-gather XLA path."""
     _, st, stacks = _stacks()
