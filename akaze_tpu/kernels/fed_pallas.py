@@ -218,13 +218,16 @@ def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f):
     x = seed_ref[...]  # (f, h, w)
     g1k = gaussian_kernel(1.0)
     base = pl.program_id(0) * f
-    # Per-frame contrast factors as an (f, 1, 1) vector.  Built by selecting
-    # SMEM scalars against an iota — Mosaic cannot lower a reshape of a
-    # scalar-built 1-D vector to (f, 1, 1).
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (f, 1, 1), 0)
-    kf = jnp.full((f, 1, 1), k_ref[base], jnp.float32)
-    for j in range(1, f):
-        kf = jnp.where(fidx == j, k_ref[base + j], kf)
+    if f == 1:
+        kf = k_ref[base]  # scalar broadcast
+    else:
+        # Per-frame contrast factors as an (f, 1, 1) vector, built by
+        # selecting SMEM scalars against an iota — Mosaic cannot lower a
+        # reshape of a scalar-built 1-D vector to (f, 1, 1).
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (f, 1, 1), 0)
+        kf = jnp.full((f, 1, 1), k_ref[base], jnp.float32)
+        for j in range(1, f):
+            kf = jnp.where(fidx == j, k_ref[base + j], kf)
     for li, spec in enumerate(specs):
         if first and li == 0:
             # Level 0: seed is already G_{sigma0} * img; Lsmooth == Lt.
