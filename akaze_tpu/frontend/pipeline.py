@@ -43,15 +43,19 @@ def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
         if _use_pallas_scale_space():
             from akaze_tpu.kernels.fed_pallas import build_scale_space_pallas
 
-            stacks = build_scale_space_pallas(img, ss_statics)
+            # with_detect folds candidate scoring + dense sub-pixel fields
+            # into the scale-space build (XLA, per octave at native
+            # resolution) — no separate per-(frame, level) detect pass and
+            # no second read of the padded Ldet stack from HBM.
+            stacks = build_scale_space_pallas(img, ss_statics, with_detect=True)
         else:
             stacks = build_scale_space(img, ss_statics)
     with jax.named_scope("akaze_detect"):
         if _use_pallas_scale_space():
-            from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
-
-            scores, ox, oy = detect_scores_pallas(stacks["Ldet"], ss_statics)
-            kps = detect(stacks["Ldet"], ss_statics, scores, (ox, oy))
+            kps = detect(
+                stacks["Ldet"], ss_statics, stacks["score"],
+                (stacks["ox"], stacks["oy"]),
+            )
         else:
             kps = detect(stacks["Ldet"], ss_statics)
     with jax.named_scope("akaze_describe"):
@@ -68,25 +72,28 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
         if _use_pallas_scale_space():
             from akaze_tpu.kernels.fed_pallas import build_scale_space_pallas_batched
 
-            stacks = build_scale_space_pallas_batched(imgs, ss_statics)
+            # with_detect: candidate scores + dense sub-pixel fields come
+            # out of the scale-space build itself (XLA at native per-octave
+            # resolution), replacing the separate per-(frame, level) Pallas
+            # detect pass and its padded-stack HBM round trip.
+            stacks = build_scale_space_pallas_batched(
+                imgs, ss_statics, with_detect=True
+            )
         else:
             stacks = jax.vmap(lambda im: build_scale_space(im, ss_statics))(imgs)
     with jax.named_scope("akaze_detect"):
         if _use_pallas_scale_space():
-            # Fused kernel on a native (B*L) grid emits candidate scores AND
-            # dense sub-pixel fields; candidate selection and NMS then vmap
-            # over the precomputed arrays (two flat gathers replace nine
-            # scattered Ldet reads per candidate — round-2 profile win).
+            # Candidate selection and NMS vmap over the precomputed dense
+            # fields (two flat gathers replace nine scattered Ldet reads per
+            # candidate — round-2 profile win).  Candidate top-K runs
+            # batched, per octave on tight slices (approx_max_k over the
+            # padded plane wasted 4x its work).
             from akaze_tpu.frontend.detect import find_candidates_batched
-            from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
 
-            scores, ox, oy = detect_scores_pallas(stacks["Ldet"], ss_statics)
-            # Candidate top-K runs batched, per octave on tight slices
-            # (approx_max_k over the padded plane wasted 4x its work).
-            cand = find_candidates_batched(scores, ss_statics)
+            cand = find_candidates_batched(stacks["score"], ss_statics)
             kps = jax.vmap(
                 lambda ld, a, b, c: detect(ld, ss_statics, None, (a, b), c)
-            )(stacks["Ldet"], ox, oy, cand)
+            )(stacks["Ldet"], stacks["ox"], stacks["oy"], cand)
         else:
             kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):

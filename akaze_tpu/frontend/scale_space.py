@@ -189,15 +189,18 @@ def detector_response_level(lsmooth: jax.Array, spec: EvolutionSpec):
     return lx * sf, ly * sf, ldet
 
 
-def stack_levels(levels: list[jax.Array], specs: List[EvolutionSpec]) -> jax.Array:
+def stack_levels(
+    levels: list[jax.Array], specs: List[EvolutionSpec], fill: float = 0.0
+) -> jax.Array:
     """Pad each level into the octave-0 frame and stack: (L, H0, W0).
     Level l lives at [:h_l, :w_l]; the pad region is never read (the static
-    interior masks exclude it)."""
+    interior masks exclude it).  `fill` pads candidate-score stacks with the
+    -3e38 sentinel so padding can never win a top-k."""
     h0, w0 = specs[0].height, specs[0].width
     padded = []
     for lvl, spec in zip(levels, specs):
         pad = [(0, 0)] * (lvl.ndim - 2) + [(0, h0 - spec.height), (0, w0 - spec.width)]
-        padded.append(jnp.pad(lvl, pad))
+        padded.append(jnp.pad(lvl, pad, constant_values=fill))
     return jnp.stack(padded, axis=-3)
 
 

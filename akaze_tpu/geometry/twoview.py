@@ -69,7 +69,25 @@ def estimate_relative_pose_fn(
     key: jax.Array,
     config: RansacConfig,
 ) -> TwoViewResult:
-    """Traceable RANSAC essential + cheirality-tested pose recovery."""
+    """Traceable RANSAC essential + cheirality-tested pose recovery.
+
+    Traced under f32 matmul precision: TPU default precision runs the
+    einsums AND the matmuls inside `jnp.linalg.svd`'s iterations in
+    bfloat16, which blows the recovered rotation past its reference bound
+    (measured round 2: 5.2 deg vs the 1.5 deg golden-model bound on the
+    benchmark scenes; CPU f32 passes).  Geometry is tiny next to the
+    front-end, so full-f32 MXU passes cost nothing measurable."""
+    with jax.default_matmul_precision("float32"):
+        return _estimate_relative_pose_f32(x1, x2, mask, key, config)
+
+
+def _estimate_relative_pose_f32(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    config: RansacConfig,
+) -> TwoViewResult:
     n = x1.shape[0]
 
     # --- hypotheses: distinct uniform 8-subsets of the valid slots ---

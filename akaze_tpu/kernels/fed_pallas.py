@@ -22,6 +22,7 @@ Numerics are the same f32 shift-and-add formulas as frontend/scale_space
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -280,15 +281,101 @@ def fused_octave_batched(
     )(k.reshape(b).astype(jnp.float32), seed)
 
 
-def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
+# Octaves below this index run the fused Mosaic kernel (VMEM-resident FED
+# chain — the element-bound regime where it wins); octaves at/above it run
+# the portable XLA path on native-resolution batched arrays.  Measured
+# round 2: deep-octave Mosaic programs are per-op-ISSUE-bound (an 80x60
+# level costs nearly as much as a 640x480 one per program), while XLA
+# batches the (B, h, w) levels natively and fuses the stencil chains.
+_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "1"))
+
+_NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
+
+
+def _dense_score_fields(ldet, border, threshold):
+    """XLA dense candidate scores + sub-pixel offset fields for one level at
+    native (B, h, w) resolution — same construction as kernels/detect_pallas
+    (strict 3x3 max + threshold + static interior bounds; 2-var quadratic
+    fit with rejected fits encoded as NaN).  Candidates are strictly
+    interior (border >= 1), so edge-replicate vs padded-stack shift
+    semantics can never differ on a selected site."""
+    h, w = ldet.shape[-2], ldet.shape[-1]
+    pe = jnp.pad(ldet, [(0, 0)] * (ldet.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
+
+    def sh(dy, dx):
+        return pe[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    n_e, n_w = sh(0, 1), sh(0, -1)
+    n_s, n_n = sh(1, 0), sh(-1, 0)
+    n_se, n_nw = sh(1, 1), sh(-1, -1)
+    n_ne, n_sw = sh(-1, 1), sh(1, -1)
+    nmax = jnp.maximum(n_e, n_w)
+    nmax = jnp.maximum(nmax, jnp.maximum(n_s, n_n))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_se, n_nw))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_ne, n_sw))
+
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    interior = jnp.asarray(
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    cand = interior & (ldet > threshold) & (ldet > nmax)
+    score = jnp.where(cand, ldet, jnp.float32(_NEG))
+
+    dxv = 0.5 * (n_e - n_w)
+    dyv = 0.5 * (n_s - n_n)
+    dxx = n_e + n_w - 2.0 * ldet
+    dyy = n_s + n_n - 2.0 * ldet
+    dxy = 0.25 * (n_se + n_nw - n_ne - n_sw)
+    det = dxx * dyy - dxy * dxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    ox = (-dxv * dyy + dyv * dxy) / safe_det
+    oy = (-dyv * dxx + dxv * dxy) / safe_det
+    keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
+    nan = jnp.float32(jnp.nan)
+    return score, jnp.where(keep, ox, nan), jnp.where(keep, oy, nan)
+
+
+def _xla_octave(seed, k, ospecs, config, first):
+    """XLA level chain for one octave on (B, h, w) frames; output order
+    matches fused_octave_batched (lt, lx, ly, ldet per level)."""
+    from akaze_tpu.frontend.scale_space import (
+        conductivity, detector_response_level, fed_cycle, gaussian_blur, scharr,
+    )
+
+    kb = k.reshape(-1, 1, 1)
+    x = seed
+    outs = []
+    for li, spec in enumerate(ospecs):
+        if first and li == 0:
+            lsmooth = x
+        else:
+            lsmooth = gaussian_blur(x, 1.0)
+            gx = scharr(lsmooth, 1, 0, 1)
+            gy = scharr(lsmooth, 0, 1, 1)
+            g = conductivity(gx, gy, kb, config.diffusivity)
+            x = fed_cycle(x, g, spec.taus)
+        lx, ly, ldet = detector_response_level(lsmooth, spec)
+        outs.extend([x, lx, ly, ldet])
+    return outs
+
+
+def build_scale_space_pallas_batched(
+    imgs: jax.Array, statics, with_detect: bool = False
+) -> dict:
     """Batched drop-in for frontend.scale_space.build_scale_space on
     (B, H, W) frames; same stacked (B, L, H0, W0) output contract.
 
     The batch rides the pallas grid natively (one program per frame) rather
     than jax.vmap — this environment's remote Mosaic compiler rejects the
     vmap-generated variant at B >= 8.  Levels are grouped per OCTAVE into
-    one kernel each (4 calls instead of 16): the inter-level Lt round trips
-    stay in VMEM and the per-call overhead amortizes across sublevels."""
+    one kernel each, and only the first `_PALLAS_OCTAVES` octaves use the
+    Mosaic kernel (deep octaves are issue-bound there — see the constant).
+
+    with_detect=True additionally returns the fused detect products
+    ("score", "ox", "oy" stacks, computed in XLA at native resolution right
+    off each octave's outputs) — this replaces the separate per-(frame,
+    level) detect_scores_pallas pass and its padded-stack HBM round trip."""
     from akaze_tpu.frontend.scale_space import (
         compute_contrast_factor, gaussian_blur, half_size, stack_levels,
     )
@@ -302,34 +389,49 @@ def build_scale_space_pallas_batched(imgs: jax.Array, statics) -> dict:
         if not octaves or spec.octave != octaves[-1][0]:
             octaves.append((spec.octave, []))
         octaves[-1][1].append(spec)
-    b = imgs.shape[0]
     lts, lxs, lys, ldets = [], [], [], []
+    scores, oxs, oys = [], [], []
     for oi, (_, ospecs) in enumerate(octaves):
         if oi > 0:
             seed = half_size(lts[-1])
             k = k * config.contrast_octave_decay
-        # One frame per program.  Batching frames per program (f > 1) to
-        # amortize per-op cost was tried for the deep octaves and abandoned:
-        # Mosaic compile time explodes on the narrow (f, 60, 80)-shaped
-        # unrolled bodies (>> 10 min for octave 3 at f=16).
-        outs = fused_octave_batched(
-            seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0), f=1
-        )
-        for li in range(len(ospecs)):
+        if oi < _PALLAS_OCTAVES:
+            # One frame per program.  Batching frames per program (f > 1) to
+            # amortize per-op cost was tried for the deep octaves and
+            # abandoned: Mosaic compile time explodes on the narrow
+            # (f, 60, 80)-shaped unrolled bodies (>> 10 min at f=16).
+            outs = fused_octave_batched(
+                seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0), f=1
+            )
+        else:
+            outs = _xla_octave(seed, k, ospecs, config, first=(oi == 0))
+        for li, spec in enumerate(ospecs):
             lts.append(outs[4 * li])
             lxs.append(outs[4 * li + 1])
             lys.append(outs[4 * li + 2])
             ldets.append(outs[4 * li + 3])
+            if with_detect:
+                s_, ox_, oy_ = _dense_score_fields(
+                    ldets[-1], int(spec.border), float(config.detector_threshold)
+                )
+                scores.append(s_)
+                oxs.append(ox_)
+                oys.append(oy_)
         seed = lts[-1]
-    return {
+    out = {
         "Lt": stack_levels(lts, specs),
         "Lx": stack_levels(lxs, specs),
         "Ly": stack_levels(lys, specs),
         "Ldet": stack_levels(ldets, specs),
     }
+    if with_detect:
+        out["score"] = stack_levels(scores, specs, fill=_NEG)
+        out["ox"] = stack_levels(oxs, specs, fill=np.nan)
+        out["oy"] = stack_levels(oys, specs, fill=np.nan)
+    return out
 
 
-def build_scale_space_pallas(img: jax.Array, statics) -> dict:
+def build_scale_space_pallas(img: jax.Array, statics, with_detect: bool = False) -> dict:
     """Single-frame wrapper over the batched builder."""
-    out = build_scale_space_pallas_batched(img[None], statics)
+    out = build_scale_space_pallas_batched(img[None], statics, with_detect)
     return jax.tree.map(lambda a: a[0], out)

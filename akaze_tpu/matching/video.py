@@ -138,8 +138,11 @@ def process_video(
     # would mask scene cuts from the keyframe logic.
     mconfig = mconfig or MatchConfig(max_distance=120)
     sconfig = sconfig or SfmConfig()
-    frames = np.asarray(frames, np.float32)
-    T = frames.shape[0]
+    # At most ONE host->device transfer (none if `frames` is already a
+    # device array — an np.asarray here would silently round-trip it
+    # through the host, which dominates everything on a tunneled chip).
+    frames = jnp.asarray(frames, jnp.float32)
+    T = int(frames.shape[0])
     # Chunk count is a compile-time constant (scan length); bucket it to the
     # next power of two so variable-length sequences reuse executables.  Tail
     # padding repeats the last frame — padded frames track the keyframe
@@ -149,11 +152,10 @@ def process_video(
     num_chunks = 1 << (num_chunks - 1).bit_length()
     total = num_chunks * batch
     if total > T:
-        frames = np.concatenate(
-            [frames, np.repeat(frames[-1:], total - T, axis=0)]
+        frames = jnp.concatenate(
+            [frames, jnp.repeat(frames[-1:], total - T, axis=0)]
         )
-    # One host->device transfer up front; the whole program is one dispatch.
-    chunks = jnp.asarray(frames.reshape(num_chunks, batch, *frames.shape[1:]))
+    chunks = frames.reshape(num_chunks, batch, *frames.shape[1:])
     run = _compiled_video_program(config, mconfig, sconfig, num_chunks)
     feats, matches, prev_counts, kf_counts, is_kf = run(chunks)
 

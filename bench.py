@@ -185,10 +185,13 @@ def bench_video(num_frames: int = 500) -> None:
     from akaze_tpu.matching.video import process_video
     from akaze_tpu.utils.synthetic import video_sequence
 
-    frames = video_sequence(num_frames, 480, 640, seed=0)
+    # Upload once; process_video keeps device arrays device-resident.  The
+    # first call compiles the single-dispatch sequence program (its chunk
+    # count is a compile-time scan length); the timed second call measures
+    # steady-state streaming throughput.
+    frames = jnp.asarray(video_sequence(num_frames, 480, 640, seed=0))
+    jax.block_until_ready(frames)
     cfg = AkazeConfig()
-    # First call compiles the full single-dispatch sequence program (its
-    # chunk-count is a compile-time scan length); time the second call.
     process_video(frames, cfg, batch=16)
     t0 = time.perf_counter()
     res = process_video(frames, cfg, batch=16)
@@ -222,11 +225,13 @@ def bench_sfm(num_keyframes: int = 50) -> None:
                     tr[k] = (uv + rng.normal(0, 5e-4, 2)).astype(np.float32)
         if len(tr) >= 2:
             observations.append(tr)
+    scfg = SfmConfig(ba_iterations=8)
+    rcfg = RansacConfig(num_iterations=256, inlier_threshold=5e-3)
+    # Warm-up run populates the bucket-keyed executables (PnP/triangulation
+    # super-steps + BA sizes); the timed run measures steady-state.
+    run_incremental(observations, num_keyframes, scfg, rcfg, ba_every=8)
     t0 = time.perf_counter()
-    res = run_incremental(
-        observations, num_keyframes, SfmConfig(ba_iterations=8),
-        RansacConfig(num_iterations=256, inlier_threshold=5e-3), ba_every=8,
-    )
+    res = run_incremental(observations, num_keyframes, scfg, rcfg, ba_every=8)
     dt = time.perf_counter() - t0
     ate = ate_rmse(camera_centers(res.poses), camera_centers(poses))
     _emit("sfm_50kf_keyframes_per_s", num_keyframes / dt, "keyframes/s")

@@ -31,3 +31,34 @@ def test_fed_pallas_matches_xla(diff):
             np.asarray(got[key]), np.asarray(ref[key]), atol=2e-5,
             err_msg=key,
         )
+
+
+def test_with_detect_matches_detect_pallas():
+    """Fused-into-build detect fields == the standalone Pallas detect pass.
+
+    Scores must agree exactly everywhere (interior-masked, sentinel
+    elsewhere); ox/oy are compared at candidate sites only — candidates are
+    strictly interior (border >= 1) so both layouts see identical 3x3
+    neighborhoods there, while non-candidate boundary pixels legitimately
+    differ (padded-stack vs native-resolution edge replication)."""
+    from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
+
+    cfg = AkazeConfig()
+    imgs = np.stack(
+        [textured_scene(96, 128, seed=s) for s in (2, 3)]
+    ).astype(np.float32)
+    st = ScaleSpaceStatics(128, 96, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        full = jax.jit(
+            lambda im: build_scale_space_pallas_batched(im, st, with_detect=True)
+        )(jnp.asarray(imgs))
+        scores, ox, oy = detect_scores_pallas(full["Ldet"], st)
+    np.testing.assert_allclose(
+        np.asarray(full["score"]), np.asarray(scores), atol=2e-6, rtol=1e-6
+    )
+    cand = np.asarray(scores) > -1e38
+    assert cand.sum() > 10  # the scene must actually produce candidates
+    ox_ref, oy_ref = np.asarray(ox), np.asarray(oy)
+    ox_got, oy_got = np.asarray(full["ox"]), np.asarray(full["oy"])
+    np.testing.assert_allclose(ox_got[cand], ox_ref[cand], atol=2e-5, equal_nan=True)
+    np.testing.assert_allclose(oy_got[cand], oy_ref[cand], atol=2e-5, equal_nan=True)
