@@ -284,10 +284,12 @@ def fused_octave_batched(
 # Octaves below this index run the fused Mosaic kernel (VMEM-resident FED
 # chain — the element-bound regime where it wins); octaves at/above it run
 # the portable XLA path on native-resolution batched arrays.  Measured
-# round 2: deep-octave Mosaic programs are per-op-ISSUE-bound (an 80x60
-# level costs nearly as much as a 640x480 one per program), while XLA
-# batches the (B, h, w) levels natively and fuses the stencil chains.
-_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "1"))
+# round 2 on the v5e chip (headline fps at splits 0/1/2/3/4 =
+# 148/175/191/191/176): octaves 0-1 are element-bound (Mosaic wins),
+# octaves 2-3 are per-op-ISSUE-bound in Mosaic (an 80x60 level costs
+# nearly as much as a 640x480 one per program) while XLA batches the
+# (B, h, w) levels natively and fuses the stencil chains.
+_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "2"))
 
 _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
