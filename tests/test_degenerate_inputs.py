@@ -1,0 +1,51 @@
+"""Degenerate-input behavior of the jitted front-end (the fixed-capacity
+SoA design must degrade to empty results, never crash or emit garbage).
+
+Probes from the verify recipe: constant image, sub-minimum-octave image,
+empty descriptor sets into match, non-grayscale input rejection.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from akaze_tpu.core.config import AkazeConfig, MatchConfig
+from akaze_tpu.frontend.pipeline import extract
+from akaze_tpu.golden import akaze as golden
+from akaze_tpu.matching.hamming import match
+from akaze_tpu.utils.synthetic import textured_scene
+
+CFG = AkazeConfig(max_keypoints=128, per_level_candidates=32)
+
+
+def test_constant_image_yields_no_keypoints():
+    feats = extract(np.full((96, 128), 0.5, np.float32), CFG)
+    assert int(np.asarray(feats.keypoints.valid).sum()) == 0
+
+
+def test_sub_40px_image_runs_and_matches_golden():
+    # Below min_octave_dim only octave 0 survives; the descriptor border
+    # (~10*sqrt(2) px) legitimately leaves no describable keypoints here —
+    # the gate is "no crash, same count as the golden oracle".
+    img = textured_scene(36, 38, seed=2)
+    feats = extract(img, CFG)
+    n_tpu = int(np.asarray(feats.keypoints.valid).sum())
+    n_gold = len(golden.extract(img, CFG).keypoints)
+    assert n_tpu == n_gold == 0
+
+
+def test_empty_descriptor_set_matches_nothing():
+    feats = extract(textured_scene(96, 128, seed=1), CFG)
+    empty = jnp.zeros((CFG.max_keypoints, CFG.descriptor_words), jnp.uint32)
+    none = jnp.zeros((CFG.max_keypoints,), bool)
+    for a, va, b, vb in [
+        (empty, none, feats.descriptors, feats.keypoints.valid),
+        (feats.descriptors, feats.keypoints.valid, empty, none),
+        (empty, none, empty, none),
+    ]:
+        assert int(match(a, va, b, vb, MatchConfig()).count()) == 0
+
+
+def test_multichannel_input_rejected():
+    with pytest.raises(Exception):
+        extract(np.zeros((32, 32, 3), np.float32), CFG)
