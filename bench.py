@@ -20,11 +20,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent XLA compile cache: a cold bench run reuses programs compiled by
+# earlier runs/tests instead of paying the multi-minute remote Mosaic
+# compile over the TPU tunnel (see .claude/skills/verify/SKILL.md gotchas).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_akaze_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The axon sitecustomize imports jax at interpreter startup, before the env
+# defaults above exist — set the cache config explicitly as well.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_akaze_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 _FALLBACK_BASELINE_FPS = 10.0  # literature order of magnitude (BASELINE.md)
 _BASELINE_FPS: float | None = None
