@@ -1,0 +1,116 @@
+"""Compact scale-space atlas layout (round-3 groundwork, BASELINE.md
+"Known perf headroom").
+
+The pipeline currently materializes every per-level channel as a zero-padded
+`(L, H0, W0)` stack (SURVEY.md §7.1): uniform shapes make downstream gathers
+trivial, but deep-octave levels waste 4x/16x/64x HBM.  This module plans the
+replacement layout: all L levels packed into ONE `(H_atlas, W0)` canvas by
+vertical stacking — level l occupies rows `[y_off[l], y_off[l] + h_l)` at
+its native width — which costs ~1.9x H0 rows for the default 4x4 config
+instead of L = 16 full planes (~2.1x less HBM).  Gather sites translate with
+one add: `(l, y, x) -> (y_off[l] + y, x)`, so the detect/describe gather
+code stays a single indexed op over a static layout.
+
+Guard rows between levels (rounded so every level starts on an f32 sublane
+boundary) keep 3x3 stencil reads from crossing level boundaries; pack fills
+them with edge-replicated rows so neighborhood ops at a level's first/last
+row see the same values replicate-padding would produce.
+
+Not yet wired into the pipeline — `pack_stack`/`unpack_level` bridge the
+existing stack layout for migration and parity testing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# f32 sublane count on TPU: level row offsets are rounded to multiples of
+# this so each level's rows start tile-aligned in the atlas.
+_SUBLANES = 8
+
+
+class AtlasLayout(NamedTuple):
+    """Static (trace-time) description of the packed scale-space canvas."""
+
+    y_off: np.ndarray  # (L,) int32 first atlas row of each level
+    heights: np.ndarray  # (L,) int32 native level heights
+    widths: np.ndarray  # (L,) int32 native level widths
+    total_rows: int  # H_atlas (sublane-aligned)
+    width: int  # W0 (atlas width = octave-0 width)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.y_off)
+
+    def level_slice(self, l: int) -> tuple[slice, slice]:
+        """Row/col slices of level l inside the atlas canvas."""
+        return (
+            slice(int(self.y_off[l]), int(self.y_off[l]) + int(self.heights[l])),
+            slice(0, int(self.widths[l])),
+        )
+
+
+def plan_atlas(statics) -> AtlasLayout:
+    """Build the packed layout for a `ScaleSpaceStatics` (or anything with
+    `heights`/`widths`/`h0`/`w0` arrays)."""
+    heights = np.asarray(statics.heights, np.int32)
+    widths = np.asarray(statics.widths, np.int32)
+    y_off = np.zeros(len(heights), np.int32)
+    row = 0
+    for l, h in enumerate(heights):
+        y_off[l] = row
+        # One guard row below each level, then round the next level's start
+        # up to a sublane boundary (the guard band is >= 1 row).
+        row = int(-(-(row + int(h) + 1) // _SUBLANES) * _SUBLANES)
+    return AtlasLayout(
+        y_off=y_off,
+        heights=heights,
+        widths=widths,
+        total_rows=row,
+        width=int(statics.w0),
+    )
+
+
+def to_atlas_rows(layout: AtlasLayout, level, y):
+    """Level-local row coordinate(s) -> atlas row coordinate(s).
+
+    `level`/`y` may be scalars or broadcast-compatible integer arrays
+    (traced or static); columns are unchanged by the layout."""
+    y_off = jnp.asarray(layout.y_off)
+    return y_off[level] + y
+
+
+def pack_stack(stack: jax.Array, layout: AtlasLayout) -> jax.Array:
+    """(..., L, H0, W0) zero-padded stack -> (..., H_atlas, W0) atlas.
+
+    Guard rows replicate each level's last valid row (columns beyond a
+    level's width keep the stack's zero padding), so 3x3 neighborhoods at
+    level edges match replicate-padding semantics."""
+    L = layout.num_levels
+    parts = []
+    for l in range(L):
+        h = int(layout.heights[l])
+        level = stack[..., l, :h, :]
+        parts.append(level)
+        start = int(layout.y_off[l])
+        end = int(layout.y_off[l + 1]) if l + 1 < L else layout.total_rows
+        guard = end - (start + h)
+        if guard:
+            last = stack[..., l, h - 1 : h, :]
+            parts.append(jnp.repeat(last, guard, axis=-2))
+    return jnp.concatenate(parts, axis=-2)
+
+
+def unpack_level(atlas: jax.Array, layout: AtlasLayout, l: int) -> jax.Array:
+    """Atlas -> native-resolution (..., h_l, w_l) view of level l."""
+    rows, cols = layout.level_slice(l)
+    return atlas[..., rows, cols]
+
+
+def atlas_bytes_ratio(layout: AtlasLayout, h0: int) -> float:
+    """Stack HBM bytes / atlas HBM bytes (the expected memory win)."""
+    return (layout.num_levels * h0) / float(layout.total_rows)

@@ -1,0 +1,84 @@
+"""Packed scale-space atlas layout: geometry, roundtrip, guard semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from akaze_tpu.core.config import AkazeConfig
+from akaze_tpu.frontend.atlas import (
+    atlas_bytes_ratio, pack_stack, plan_atlas, to_atlas_rows, unpack_level,
+)
+from akaze_tpu.frontend.scale_space import ScaleSpaceStatics
+
+ST = ScaleSpaceStatics(640, 480, AkazeConfig())
+LAYOUT = plan_atlas(ST)
+
+
+def _stack(batch=()):
+    rng = np.random.default_rng(0)
+    s = np.zeros(batch + (ST.num_levels, ST.h0, ST.w0), np.float32)
+    for l in range(ST.num_levels):
+        h, w = int(ST.heights[l]), int(ST.widths[l])
+        s[..., l, :h, :w] = rng.random(batch + (h, w), np.float32)
+    return s
+
+
+def test_levels_disjoint_and_sublane_aligned():
+    for l in range(LAYOUT.num_levels):
+        assert int(LAYOUT.y_off[l]) % 8 == 0
+        end = int(LAYOUT.y_off[l]) + int(LAYOUT.heights[l])
+        nxt = (
+            int(LAYOUT.y_off[l + 1])
+            if l + 1 < LAYOUT.num_levels
+            else LAYOUT.total_rows
+        )
+        assert end < nxt  # >= 1 guard row between levels
+
+
+def test_memory_win_matches_estimate():
+    # BASELINE.md headroom: ~2.1x less HBM than the (L, H0, W0) stack.
+    assert atlas_bytes_ratio(LAYOUT, ST.h0) > 2.0
+
+
+def test_pack_unpack_roundtrip():
+    stack = _stack()
+    atlas = np.asarray(pack_stack(jnp.asarray(stack), LAYOUT))
+    assert atlas.shape == (LAYOUT.total_rows, LAYOUT.width)
+    for l in range(LAYOUT.num_levels):
+        h, w = int(ST.heights[l]), int(ST.widths[l])
+        np.testing.assert_array_equal(
+            np.asarray(unpack_level(jnp.asarray(atlas), LAYOUT, l)),
+            stack[l, :h, :w],
+        )
+
+
+def test_pack_batched():
+    stack = _stack(batch=(2,))
+    atlas = np.asarray(pack_stack(jnp.asarray(stack), LAYOUT))
+    assert atlas.shape == (2, LAYOUT.total_rows, LAYOUT.width)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_level(jnp.asarray(atlas), LAYOUT, 3)),
+        stack[:, 3, : int(ST.heights[3]), : int(ST.widths[3])],
+    )
+
+
+def test_guard_rows_replicate_level_edge():
+    stack = _stack()
+    atlas = np.asarray(pack_stack(jnp.asarray(stack), LAYOUT))
+    for l in range(LAYOUT.num_levels):
+        h, w = int(ST.heights[l]), int(ST.widths[l])
+        end = int(LAYOUT.y_off[l]) + h
+        nxt = (
+            int(LAYOUT.y_off[l + 1])
+            if l + 1 < LAYOUT.num_levels
+            else LAYOUT.total_rows
+        )
+        for gy in range(end, nxt):  # every guard row == level's last row
+            np.testing.assert_array_equal(atlas[gy, :w], stack[l, h - 1, :w])
+
+
+def test_to_atlas_rows_vectorized():
+    levels = jnp.asarray([0, 3, 7, 15])
+    ys = jnp.asarray([0, 1, 5, 2])
+    got = np.asarray(to_atlas_rows(LAYOUT, levels, ys))
+    want = LAYOUT.y_off[np.asarray(levels)] + np.asarray(ys)
+    np.testing.assert_array_equal(got, want)
