@@ -105,6 +105,53 @@ def pack_stack(stack: jax.Array, layout: AtlasLayout) -> jax.Array:
     return jnp.concatenate(parts, axis=-2)
 
 
+def pack_levels(levels, layout: AtlasLayout) -> jax.Array:
+    """Native-resolution level arrays [(..., h_l, w_l), ...] -> atlas.
+
+    The round-3 production path: packs straight from the per-level builder
+    outputs without ever materializing the zero-padded (L, H0, W0) stack.
+    Columns beyond a level's width are zero; guard rows replicate the
+    level's last (zero-extended) row, matching `pack_stack` semantics."""
+    L = layout.num_levels
+    parts = []
+    for l in range(L):
+        level = levels[l]
+        h, w = int(layout.heights[l]), int(layout.widths[l])
+        pad = [(0, 0)] * (level.ndim - 1) + [(0, layout.width - w)]
+        row_padded = jnp.pad(level, pad) if layout.width > w else level
+        parts.append(row_padded)
+        start = int(layout.y_off[l])
+        end = int(layout.y_off[l + 1]) if l + 1 < L else layout.total_rows
+        guard = end - (start + h)
+        if guard:
+            parts.append(jnp.repeat(row_padded[..., h - 1 : h, :], guard, axis=-2))
+    return jnp.concatenate(parts, axis=-2)
+
+
+def build_scale_space_atlas(img: jax.Array, statics) -> dict:
+    """Atlas-packed scale space: dict of (H_atlas, W0) arrays Lt, Lx, Ly,
+    Ldet — the compact counterpart of `scale_space.build_scale_space`,
+    built from the same per-level chain without the padded stack."""
+    from akaze_tpu.frontend.scale_space import (
+        build_levels, detector_response_level,
+    )
+
+    layout = plan_atlas(statics)
+    lts, lsmooths = build_levels(img, statics.specs, statics.config)
+    lxs, lys, ldets = [], [], []
+    for lsmooth, spec in zip(lsmooths, statics.specs):
+        lx, ly, ldet = detector_response_level(lsmooth, spec)
+        lxs.append(lx)
+        lys.append(ly)
+        ldets.append(ldet)
+    return {
+        "Lt": pack_levels(lts, layout),
+        "Lx": pack_levels(lxs, layout),
+        "Ly": pack_levels(lys, layout),
+        "Ldet": pack_levels(ldets, layout),
+    }
+
+
 def unpack_level(atlas: jax.Array, layout: AtlasLayout, l: int) -> jax.Array:
     """Atlas -> native-resolution (..., h_l, w_l) view of level l."""
     rows, cols = layout.level_slice(l)

@@ -5,7 +5,8 @@ import numpy as np
 
 from akaze_tpu.core.config import AkazeConfig
 from akaze_tpu.frontend.atlas import (
-    atlas_bytes_ratio, pack_stack, plan_atlas, to_atlas_rows, unpack_level,
+    atlas_bytes_ratio, build_scale_space_atlas, pack_levels, pack_stack,
+    plan_atlas, to_atlas_rows, unpack_level,
 )
 from akaze_tpu.frontend.scale_space import ScaleSpaceStatics
 
@@ -74,6 +75,39 @@ def test_guard_rows_replicate_level_edge():
         )
         for gy in range(end, nxt):  # every guard row == level's last row
             np.testing.assert_array_equal(atlas[gy, :w], stack[l, h - 1, :w])
+
+
+def test_pack_levels_matches_pack_stack():
+    stack = _stack()
+    levels = [
+        jnp.asarray(stack[l, : int(ST.heights[l]), : int(ST.widths[l])])
+        for l in range(ST.num_levels)
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(pack_levels(levels, LAYOUT)),
+        np.asarray(pack_stack(jnp.asarray(stack), LAYOUT)),
+    )
+
+
+def test_build_scale_space_atlas_parity():
+    # Atlas builder must reproduce the stacked builder level-for-level.
+    from akaze_tpu.frontend.scale_space import build_scale_space
+    from akaze_tpu.utils.synthetic import textured_scene
+
+    st = ScaleSpaceStatics(96, 80, AkazeConfig())
+    layout = plan_atlas(st)
+    img = jnp.asarray(textured_scene(80, 96, seed=5))
+    atl = build_scale_space_atlas(img, st)
+    stk = build_scale_space(img, st)
+    for name in ("Lt", "Lx", "Ly", "Ldet"):
+        assert atl[name].shape == (layout.total_rows, layout.width)
+        for l in range(st.num_levels):
+            h, w = int(st.heights[l]), int(st.widths[l])
+            np.testing.assert_array_equal(
+                np.asarray(unpack_level(atl[name], layout, l)),
+                np.asarray(stk[name][l, :h, :w]),
+                err_msg=f"{name} level {l}",
+            )
 
 
 def test_to_atlas_rows_vectorized():
