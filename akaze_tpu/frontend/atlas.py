@@ -161,3 +161,62 @@ def unpack_level(atlas: jax.Array, layout: AtlasLayout, l: int) -> jax.Array:
 def atlas_bytes_ratio(layout: AtlasLayout, h0: int) -> float:
     """Stack HBM bytes / atlas HBM bytes (the expected memory win)."""
     return (layout.num_levels * h0) / float(layout.total_rows)
+
+
+def plan_interior_mask(layout: AtlasLayout, borders) -> np.ndarray:
+    """Static (H_atlas, W0) mask of per-level interior sites (inside each
+    level's detection border); guard rows are all-False."""
+    borders = np.asarray(borders, np.int64)
+    mask = np.zeros((layout.total_rows, layout.width), bool)
+    for l in range(layout.num_levels):
+        b = int(borders[l])
+        h, w = int(layout.heights[l]), int(layout.widths[l])
+        y0 = int(layout.y_off[l])
+        mask[y0 + b : y0 + h - b, b : w - b] = True
+    return mask
+
+
+_NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
+
+
+def atlas_score_fields(ldet_atlas: jax.Array, interior_mask, threshold: float):
+    """Candidate scores + sub-pixel offset fields for ALL levels in one
+    dense 3x3 pass over the packed atlas (the round-3 replacement for the
+    per-level `kernels.fed_pallas._dense_score_fields` loop).
+
+    Correctness across level boundaries: candidates are strictly interior
+    (border >= 1 per level, guard rows masked out), so no candidate's 3x3
+    neighborhood or finite-difference stencil ever reads a guard row or
+    another level's rows — the single dense pass is exact."""
+    h, w = ldet_atlas.shape[-2], ldet_atlas.shape[-1]
+    pe = jnp.pad(
+        ldet_atlas, [(0, 0)] * (ldet_atlas.ndim - 2) + [(1, 1), (1, 1)], mode="edge"
+    )
+
+    def sh(dy, dx):
+        return pe[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    n_e, n_w = sh(0, 1), sh(0, -1)
+    n_s, n_n = sh(1, 0), sh(-1, 0)
+    n_se, n_nw = sh(1, 1), sh(-1, -1)
+    n_ne, n_sw = sh(-1, 1), sh(1, -1)
+    nmax = jnp.maximum(n_e, n_w)
+    nmax = jnp.maximum(nmax, jnp.maximum(n_s, n_n))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_se, n_nw))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_ne, n_sw))
+
+    cand = jnp.asarray(interior_mask) & (ldet_atlas > threshold) & (ldet_atlas > nmax)
+    score = jnp.where(cand, ldet_atlas, jnp.float32(_NEG))
+
+    dxv = 0.5 * (n_e - n_w)
+    dyv = 0.5 * (n_s - n_n)
+    dxx = n_e + n_w - 2.0 * ldet_atlas
+    dyy = n_s + n_n - 2.0 * ldet_atlas
+    dxy = 0.25 * (n_se + n_nw - n_ne - n_sw)
+    det = dxx * dyy - dxy * dxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    ox = (-dxv * dyy + dyv * dxy) / safe_det
+    oy = (-dyv * dxx + dxv * dxy) / safe_det
+    keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
+    nan = jnp.float32(jnp.nan)
+    return score, jnp.where(keep, ox, nan), jnp.where(keep, oy, nan)

@@ -110,6 +110,54 @@ def test_build_scale_space_atlas_parity():
             )
 
 
+def test_atlas_score_fields_match_per_level():
+    # One dense 3x3 pass over the packed atlas must reproduce the per-level
+    # _dense_score_fields outputs at every candidate site.
+    from akaze_tpu.frontend.atlas import atlas_score_fields, plan_interior_mask
+    from akaze_tpu.frontend.scale_space import build_scale_space
+    from akaze_tpu.kernels.fed_pallas import _dense_score_fields
+    from akaze_tpu.utils.synthetic import textured_scene
+
+    cfg = AkazeConfig(detector_threshold=1e-5)
+    st = ScaleSpaceStatics(128, 96, cfg)
+    assert (np.asarray(st.borders) >= 1).all()  # the exactness precondition
+    layout = plan_atlas(st)
+    img = jnp.asarray(textured_scene(96, 128, seed=9))
+    ldet_stack = build_scale_space(img, st)["Ldet"]
+
+    levels = [
+        ldet_stack[l, : int(st.heights[l]), : int(st.widths[l])]
+        for l in range(st.num_levels)
+    ]
+    mask = plan_interior_mask(layout, st.borders)
+    a_score, a_ox, a_oy = (
+        np.asarray(v)
+        for v in atlas_score_fields(
+            pack_levels(levels, layout), mask, cfg.detector_threshold
+        )
+    )
+
+    total_cands = 0
+    for l in range(st.num_levels):
+        score, ox, oy = (
+            np.asarray(v)
+            for v in _dense_score_fields(
+                levels[l], int(st.borders[l]), cfg.detector_threshold
+            )
+        )
+        rows, cols = layout.level_slice(l)
+        np.testing.assert_array_equal(a_score[rows, cols], score, err_msg=f"L{l}")
+        cand = score > -1e38
+        total_cands += int(cand.sum())
+        np.testing.assert_array_equal(
+            a_ox[rows, cols][cand], ox[cand], err_msg=f"L{l} ox"
+        )
+        np.testing.assert_array_equal(
+            a_oy[rows, cols][cand], oy[cand], err_msg=f"L{l} oy"
+        )
+    assert total_cands > 0  # the scene actually produced candidates
+
+
 def test_to_atlas_rows_vectorized():
     levels = jnp.asarray([0, 3, 7, 15])
     ys = jnp.asarray([0, 1, 5, 2])
