@@ -163,6 +163,37 @@ def atlas_bytes_ratio(layout: AtlasLayout, h0: int) -> float:
     return (layout.num_levels * h0) / float(layout.total_rows)
 
 
+def plan_row_levels(layout: AtlasLayout) -> np.ndarray:
+    """Static (H_atlas,) int32 owning-level id per atlas row (guard rows
+    belong to the level above them; they are never candidates)."""
+    row_level = np.zeros(layout.total_rows, np.int32)
+    for l in range(layout.num_levels):
+        start = int(layout.y_off[l])
+        end = (
+            int(layout.y_off[l + 1])
+            if l + 1 < layout.num_levels
+            else layout.total_rows
+        )
+        row_level[start:end] = l
+    return row_level
+
+
+def atlas_candidates(score_atlas: jax.Array, layout: AtlasLayout, k: int):
+    """Top-k candidate sites over the packed score plane.
+
+    Returns (score, level, y, x, valid) arrays of length k: one exact
+    `lax.top_k` over the single (H_atlas * W0) plane — ~2.1x less input
+    than the stacked equivalent — with static row->level decoding."""
+    w = layout.width
+    flat = score_atlas.reshape(-1)
+    score, idx = jax.lax.top_k(flat, k)
+    row = idx // w
+    x = idx % w
+    level = jnp.asarray(plan_row_levels(layout))[row]
+    y = row - jnp.asarray(layout.y_off)[level]
+    return score, level, y, x, score > jnp.float32(_NEG / 2)
+
+
 def plan_interior_mask(layout: AtlasLayout, borders) -> np.ndarray:
     """Static (H_atlas, W0) mask of per-level interior sites (inside each
     level's detection border); guard rows are all-False."""

@@ -158,6 +158,50 @@ def test_atlas_score_fields_match_per_level():
     assert total_cands > 0  # the scene actually produced candidates
 
 
+def test_atlas_candidates_top_k():
+    # Top-k over the packed plane must return exactly the k best candidate
+    # sites with correct (level, y, x) decoding.
+    from akaze_tpu.frontend.atlas import (
+        atlas_candidates, atlas_score_fields, plan_interior_mask,
+    )
+    from akaze_tpu.frontend.scale_space import build_scale_space
+    from akaze_tpu.utils.synthetic import textured_scene
+
+    cfg = AkazeConfig(detector_threshold=1e-5)
+    st = ScaleSpaceStatics(128, 96, cfg)
+    layout = plan_atlas(st)
+    img = jnp.asarray(textured_scene(96, 128, seed=9))
+    ldet_stack = build_scale_space(img, st)["Ldet"]
+    levels = [
+        ldet_stack[l, : int(st.heights[l]), : int(st.widths[l])]
+        for l in range(st.num_levels)
+    ]
+    atlas = pack_levels(levels, layout)
+    mask = plan_interior_mask(layout, st.borders)
+    score_plane, _, _ = atlas_score_fields(atlas, mask, cfg.detector_threshold)
+
+    k = 64
+    s, lv, y, x, valid = (
+        np.asarray(v) for v in atlas_candidates(score_plane, layout, k)
+    )
+    # Oracle: gather every candidate site per level, sort by score desc.
+    sites = []
+    sp = np.asarray(score_plane)
+    for l in range(st.num_levels):
+        rows, cols = layout.level_slice(l)
+        lvl_scores = sp[rows, cols]
+        for yy, xx in zip(*np.nonzero(lvl_scores > -1e38)):
+            sites.append((float(lvl_scores[yy, xx]), l, int(yy), int(xx)))
+    sites.sort(key=lambda t: -t[0])
+    n = min(k, len(sites))
+    assert n > 0
+    assert valid[:n].all() and not valid[n:].any()
+    np.testing.assert_allclose(s[:n], [t[0] for t in sites[:n]], rtol=0)
+    got = {(int(a), int(b), int(c)) for a, b, c in zip(lv[:n], y[:n], x[:n])}
+    want = {(t[1], t[2], t[3]) for t in sites[:n]}
+    assert got == want
+
+
 def test_to_atlas_rows_vectorized():
     levels = jnp.asarray([0, 3, 7, 15])
     ys = jnp.asarray([0, 1, 5, 2])
