@@ -202,6 +202,36 @@ def test_atlas_candidates_top_k():
     assert got == want
 
 
+def test_atlas_detect_path_vmaps():
+    # The batch-first pipeline will vmap these; they must trace cleanly and
+    # agree with the single-frame path.
+    import jax
+
+    from akaze_tpu.frontend.atlas import (
+        atlas_candidates, atlas_score_fields, plan_interior_mask,
+    )
+
+    cfg = AkazeConfig(detector_threshold=1e-5)
+    st = ScaleSpaceStatics(128, 96, cfg)
+    layout = plan_atlas(st)
+    mask = plan_interior_mask(layout, st.borders)
+    rng = np.random.default_rng(4)
+    atl = jnp.asarray(
+        rng.random((3, layout.total_rows, layout.width), np.float32)
+    )
+
+    def one(a):
+        score, ox, oy = atlas_score_fields(a, mask, cfg.detector_threshold)
+        s, lv, y, x, valid = atlas_candidates(score, layout, 32)
+        return s, lv, y, x, valid
+
+    batched = jax.jit(jax.vmap(one))(atl)
+    for b in range(3):
+        single = one(atl[b])
+        for got, want in zip(batched, single):
+            np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(want))
+
+
 def test_to_atlas_rows_vectorized():
     levels = jnp.asarray([0, 3, 7, 15])
     ys = jnp.asarray([0, 1, 5, 2])
