@@ -54,9 +54,13 @@ class AtlasLayout(NamedTuple):
         )
 
 
-def plan_atlas(statics) -> AtlasLayout:
+def plan_atlas(statics, tail_rows: int = 0) -> AtlasLayout:
     """Build the packed layout for a `ScaleSpaceStatics` (or anything with
-    `heights`/`widths`/`h0`/`w0` arrays)."""
+    `heights`/`widths`/`h0`/`w0` arrays).
+
+    `tail_rows`: extra guard rows after the last level (sublane-rounded) so
+    fixed-size `dynamic_slice` patch windows anchored inside the last level
+    never clamp against the atlas bottom (pass the patch height)."""
     heights = np.asarray(statics.heights, np.int32)
     widths = np.asarray(statics.widths, np.int32)
     y_off = np.zeros(len(heights), np.int32)
@@ -66,6 +70,8 @@ def plan_atlas(statics) -> AtlasLayout:
         # One guard row below each level, then round the next level's start
         # up to a sublane boundary (the guard band is >= 1 row).
         row = int(-(-(row + int(h) + 1) // _SUBLANES) * _SUBLANES)
+    if tail_rows:
+        row = int(-(-(row + int(tail_rows)) // _SUBLANES) * _SUBLANES)
     return AtlasLayout(
         y_off=y_off,
         heights=heights,
@@ -192,6 +198,29 @@ def atlas_candidates(score_atlas: jax.Array, layout: AtlasLayout, k: int):
     level = jnp.asarray(plan_row_levels(layout))[row]
     y = row - jnp.asarray(layout.y_off)[level]
     return score, level, y, x, score > jnp.float32(_NEG / 2)
+
+
+def atlas_extract_patches(
+    planes: jax.Array, layout: AtlasLayout, level, y0, x0, ph: int, pw: int
+) -> jax.Array:
+    """Per-keypoint patch windows from packed channel planes.
+
+    planes: (ch, H_atlas, W0); level/y0/x0: (C,) per-keypoint level id and
+    level-local patch origin (as produced by the describe stage: origins
+    clipped so every CONSUMED sample coordinate stays inside the level).
+    Returns (C, ch, ph, pw) — the atlas counterpart of the stacked
+    `dynamic_slice(stacks, (0, l, y, x), ...)` gather, one dimension
+    cheaper.  Plan the layout with `tail_rows >= ph` so windows anchored in
+    the last level never clamp against the atlas bottom; rows a window
+    covers beyond its level's height are guard slop that the one-hot
+    samplers never select (sample coords are clipped to the level)."""
+    ch = planes.shape[0]
+    y_off = jnp.asarray(layout.y_off)
+
+    def slice_one(l, y, x):
+        return jax.lax.dynamic_slice(planes, (0, y_off[l] + y, x), (ch, ph, pw))
+
+    return jax.vmap(slice_one)(level, y0, x0)
 
 
 def plan_interior_mask(layout: AtlasLayout, borders) -> np.ndarray:

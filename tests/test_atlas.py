@@ -232,6 +232,77 @@ def test_atlas_detect_path_vmaps():
             np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(want))
 
 
+def test_atlas_extract_patches_matches_stack_slices():
+    from akaze_tpu.frontend.atlas import atlas_extract_patches
+
+    ph = pw = 24
+    cfg = AkazeConfig()
+    st = ScaleSpaceStatics(128, 96, cfg)
+    layout = plan_atlas(st, tail_rows=ph)
+    rng = np.random.default_rng(11)
+    stack3 = np.zeros((3, st.num_levels, st.h0, st.w0), np.float32)
+    for l in range(st.num_levels):
+        h, w = int(st.heights[l]), int(st.widths[l])
+        stack3[:, l, :h, :w] = rng.random((3, h, w), np.float32)
+    planes = jnp.stack(
+        [pack_stack(jnp.asarray(stack3[c]), layout) for c in range(3)]
+    )
+
+    # Random in-level origins incl. the extreme (h-ph, w-pw) corner of the
+    # LAST level (exercises tail_rows: the window must not clamp).
+    lvls, y0s, x0s = [], [], []
+    for l in list(range(st.num_levels)) + [st.num_levels - 1]:
+        h, w = int(st.heights[l]), int(st.widths[l])
+        assert h >= ph and w >= pw
+        lvls.append(l)
+        if len(lvls) <= st.num_levels:
+            y0s.append(int(rng.integers(0, h - ph + 1)))
+            x0s.append(int(rng.integers(0, w - pw + 1)))
+        else:
+            y0s.append(h - ph)
+            x0s.append(w - pw)
+    got = np.asarray(
+        atlas_extract_patches(
+            planes, layout,
+            jnp.asarray(lvls, jnp.int32), jnp.asarray(y0s, jnp.int32),
+            jnp.asarray(x0s, jnp.int32), ph, pw,
+        )
+    )
+    for i, (l, y0, x0) in enumerate(zip(lvls, y0s, x0s)):
+        np.testing.assert_array_equal(
+            got[i], stack3[:, l, y0 : y0 + ph, x0 : x0 + pw], err_msg=f"kp {i}"
+        )
+
+
+def test_atlas_extract_patches_oversized_window_slop():
+    # A window taller than its level (origin clamps to 0 in the describe
+    # stage) reads guard slop past the level's rows; the IN-LEVEL region
+    # must still match the stack, since only it is ever consumed.
+    from akaze_tpu.frontend.atlas import atlas_extract_patches
+
+    ph = pw = 64
+    cfg = AkazeConfig()
+    st = ScaleSpaceStatics(128, 96, cfg)
+    layout = plan_atlas(st, tail_rows=ph)
+    l = st.num_levels - 1  # deepest level: 48 rows < ph
+    h, w = int(st.heights[l]), int(st.widths[l])
+    assert h < ph and w >= pw
+    rng = np.random.default_rng(12)
+    stack3 = np.zeros((3, st.num_levels, st.h0, st.w0), np.float32)
+    stack3[:, l, :h, :w] = rng.random((3, h, w), np.float32)
+    planes = jnp.stack(
+        [pack_stack(jnp.asarray(stack3[c]), layout) for c in range(3)]
+    )
+    got = np.asarray(
+        atlas_extract_patches(
+            planes, layout,
+            jnp.asarray([l], jnp.int32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([0], jnp.int32), ph, pw,
+        )
+    )[0]
+    np.testing.assert_array_equal(got[:, :h, :pw], stack3[:, l, :h, :pw])
+
+
 def test_to_atlas_rows_vectorized():
     levels = jnp.asarray([0, 3, 7, 15])
     ys = jnp.asarray([0, 1, 5, 2])
