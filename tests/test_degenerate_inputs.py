@@ -46,6 +46,18 @@ def test_empty_descriptor_set_matches_nothing():
         assert int(match(a, va, b, vb, MatchConfig()).count()) == 0
 
 
+def test_kitti_shaped_odd_dimensions():
+    # The reference regression-tests on KITTI-style 1241x376 frames
+    # (SURVEY.md §2 C15): odd, non-tile-aligned dims must extract cleanly.
+    img = textured_scene(376, 1241, seed=13)
+    feats = extract(img, AkazeConfig())
+    valid = np.asarray(feats.keypoints.valid)
+    assert int(valid.sum()) > 100
+    x, y = np.asarray(feats.keypoints.x)[valid], np.asarray(feats.keypoints.y)[valid]
+    assert (x >= 0).all() and (x < 1241).all()
+    assert (y >= 0).all() and (y < 376).all()
+
+
 def test_multichannel_input_rejected():
     with pytest.raises(Exception):
         extract(np.zeros((32, 32, 3), np.float32), CFG)
