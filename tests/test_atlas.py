@@ -303,6 +303,16 @@ def test_atlas_extract_patches_oversized_window_slop():
     np.testing.assert_array_equal(got[:, :h, :pw], stack3[:, l, :h, :pw])
 
 
+def test_borders_at_least_one_across_configs():
+    # Exactness precondition of the single-pass atlas detect scoring: every
+    # level's detection border >= 1, so no candidate's 3x3/stencil
+    # neighborhood crosses a level boundary (see atlas_score_fields).
+    for w, h in [(640, 480), (1241, 376), (128, 96), (320, 240)]:
+        for octaves in (2, 4):
+            st = ScaleSpaceStatics(w, h, AkazeConfig(num_octaves=octaves))
+            assert (np.asarray(st.borders) >= 1).all(), (w, h, octaves)
+
+
 def test_to_atlas_rows_vectorized():
     levels = jnp.asarray([0, 3, 7, 15])
     ys = jnp.asarray([0, 1, 5, 2])
