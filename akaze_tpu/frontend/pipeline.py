@@ -33,8 +33,21 @@ def _use_pallas_scale_space() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _as_unit_gray(img: jax.Array) -> jax.Array:
+    """Integer images normalize to f32 [0, 1] like the reference's image
+    loader (SURVEY.md §2 C1: `GrayFloatImage` is f32 [0, 1]); without this
+    a raw uint8 frame is silently mis-scaled 255x against thresholds tuned
+    for [0, 1].  Float inputs pass through untouched (trace-time branch —
+    the f32 graph is byte-identical)."""
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        info = jnp.iinfo(img.dtype)
+        return img.astype(jnp.float32) / float(info.max)
+    return img.astype(jnp.float32)
+
+
 def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
     """Pure (traceable) single-image pipeline; shape/config must be static."""
+    img = _as_unit_gray(img)
     height, width = img.shape[-2], img.shape[-1]
     ss_statics, d_statics = _statics(width, height, config)
     # named_scope: stage boundaries show up in jax.profiler traces
@@ -66,6 +79,7 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
     """Traceable batched pipeline: the scale space runs with the frame batch
     on the Pallas grid natively (one program per frame per level); detection
     and description vmap over the batch."""
+    imgs = _as_unit_gray(imgs)
     height, width = imgs.shape[-2], imgs.shape[-1]
     ss_statics, d_statics = _statics(width, height, config)
     with jax.named_scope("akaze_scale_space"):
@@ -118,7 +132,7 @@ def _compiled_extract(config: AkazeConfig):
 def extract(img, config: AkazeConfig | None = None) -> Features:
     """Jitted single-image extraction (compile cached per shape/config)."""
     config = config or AkazeConfig()
-    img = jnp.asarray(img, jnp.float32)
+    img = jnp.asarray(img)  # dtype handled in extract_fn (_as_unit_gray)
     assert img.ndim == 2, "extract expects (H, W); use extract_batch for batches"
     return _compiled_extract(config)(img)
 
@@ -136,6 +150,6 @@ def extract_batch(imgs, config: AkazeConfig | None = None) -> Features:
     """Batched extraction over a leading frame axis: (B, H, W) -> Features
     with (B, K) leaves."""
     config = config or AkazeConfig()
-    imgs = jnp.asarray(imgs, jnp.float32)
+    imgs = jnp.asarray(imgs)  # dtype handled in extract_batch_fn
     assert imgs.ndim == 3
     return _compiled_extract_batch(config)(imgs)

@@ -58,6 +58,39 @@ def test_kitti_shaped_odd_dimensions():
     assert (y >= 0).all() and (y < 376).all()
 
 
+def test_uint8_input_normalizes_like_reference():
+    # Reference loads images as f32 [0,1] (SURVEY §2 C1); a uint8 frame
+    # must behave exactly like its /255 float equivalent, not be silently
+    # mis-scaled 255x against [0,1]-tuned thresholds.
+    u8 = (textured_scene(96, 128, seed=1) * 255).astype(np.uint8)
+    fu = extract(u8, CFG)
+    ff = extract(u8.astype(np.float32) / 255.0, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(fu.keypoints.valid), np.asarray(ff.keypoints.valid)
+    )
+    v = np.asarray(ff.keypoints.valid)
+    np.testing.assert_array_equal(
+        np.asarray(fu.descriptors)[v], np.asarray(ff.descriptors)[v]
+    )
+    # XLA may lower /255 as reciprocal-multiply: inputs differ by 1 ulp,
+    # so sub-pixel refinement wiggles in the last bits.
+    np.testing.assert_allclose(
+        np.asarray(fu.keypoints.x)[v], np.asarray(ff.keypoints.x)[v], atol=1e-4
+    )
+
+
+def test_nan_region_degrades_gracefully():
+    # A corrupt (NaN) sensor region must suppress detections there without
+    # crashing or leaking non-finite outputs elsewhere.
+    img = textured_scene(96, 128, seed=1).copy()
+    img[40:44, 60:64] = np.nan
+    feats = extract(img, CFG)
+    v = np.asarray(feats.keypoints.valid)
+    assert np.isfinite(np.asarray(feats.keypoints.x)[v]).all()
+    assert np.isfinite(np.asarray(feats.keypoints.y)[v]).all()
+    assert np.isfinite(np.asarray(feats.keypoints.response)[v]).all()
+
+
 def test_multichannel_input_rejected():
     with pytest.raises(Exception):
         extract(np.zeros((32, 32, 3), np.float32), CFG)
