@@ -23,6 +23,7 @@ TPU-first design (SURVEY.md §7.3 "M-LDB sampling"):
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -149,13 +150,14 @@ def _sample_matmul(patches: jax.Array, py: jax.Array, px: jax.Array) -> jax.Arra
     return jnp.einsum("cehs,csh->ces", b, ry, preferred_element_type=jnp.float32)
 
 
-def _describe_chunk(chunk: dict, stacks3: jax.Array, ss_statics, d_statics):
-    """Orientation + descriptor for one keypoint chunk.
+def _chunk_geometry(chunk: dict, ss_statics, d_statics):
+    """Per-keypoint level geometry + patch origins for one chunk.
 
-    chunk: dict of (C,) keypoint fields; stacks3: (3, L, H0, W0) = Lt, Lx, Ly.
-    Returns (angles (C,), descriptors (C, nwords) uint32).
-    """
-    cfg = d_statics.config
+    Shared by the XLA slice path and the Pallas patch-gather path so both
+    fetch byte-identical windows.  Patch origin: every clipped sample
+    coordinate lands inside the patch (clip(sample, 0, dim-1) is within
+    [origin, origin+P) for all reach cases; see d_statics patch-geometry
+    derivation)."""
     lvl = chunk["class_id"]
     ratios = jnp.asarray(ss_statics.ratios)[lvl]
     scales = jnp.asarray(_per_level_scale(ss_statics))[lvl].astype(jnp.float32)
@@ -163,27 +165,44 @@ def _describe_chunk(chunk: dict, stacks3: jax.Array, ss_statics, d_statics):
     heights = jnp.asarray(ss_statics.heights)[lvl]
     xf = chunk["x"] / ratios
     yf = chunk["y"] / ratios
-
     PH, PW = d_statics.ph, d_statics.pw
-    # Patch origin: every clipped sample coordinate lands inside the patch
-    # (clip(sample, 0, dim-1) is within [origin, origin+P) for all reach
-    # cases; see d_statics patch-geometry derivation).
     y0 = jnp.clip(_round_half_up(yf) - PH // 2, 0, jnp.maximum(heights - PH, 0))
     x0 = jnp.clip(_round_half_up(xf) - PW // 2, 0, jnp.maximum(widths - PW, 0))
+    return lvl, scales, widths, heights, xf, yf, y0, x0
 
-    if stacks3.ndim == 5:  # batched stacks (F, 3, L, H0, W0) + per-chunk frame
-        f = chunk["frame"]
 
-        def slice_one(l, y, x):
-            return jax.lax.dynamic_slice(
-                stacks3, (f, 0, l, y, x), (1, 3, 1, PH, PW)
-            )[0, :, 0]
-    else:
+def _describe_chunk(
+    chunk: dict, stacks3, ss_statics, d_statics, patches: jax.Array | None = None
+):
+    """Orientation + descriptor for one keypoint chunk.
 
-        def slice_one(l, y, x):
-            return jax.lax.dynamic_slice(stacks3, (0, l, y, x), (3, 1, PH, PW))[:, 0]
+    chunk: dict of (C,) keypoint fields; stacks3: (3, L, H0, W0) = Lt, Lx, Ly
+    (or (F, 3, L, H0, W0) with a per-chunk "frame" field).  When `patches`
+    is given (Pallas gather path), stacks3 is unused and may be None.
+    Returns (angles (C,), descriptors (C, nwords) uint32).
+    """
+    cfg = d_statics.config
+    lvl, scales, widths, heights, xf, yf, y0, x0 = _chunk_geometry(
+        chunk, ss_statics, d_statics
+    )
+    PH, PW = d_statics.ph, d_statics.pw
 
-    patches = jax.vmap(slice_one)(lvl, y0, x0)  # (C, 3, PH, PW)
+    if patches is None:
+        if stacks3.ndim == 5:  # batched stacks (F,3,L,H0,W0) + per-chunk frame
+            f = chunk["frame"]
+
+            def slice_one(l, y, x):
+                return jax.lax.dynamic_slice(
+                    stacks3, (f, 0, l, y, x), (1, 3, 1, PH, PW)
+                )[0, :, 0]
+        else:
+
+            def slice_one(l, y, x):
+                return jax.lax.dynamic_slice(
+                    stacks3, (0, l, y, x), (3, 1, PH, PW)
+                )[:, 0]
+
+        patches = jax.vmap(slice_one)(lvl, y0, x0)  # (C, 3, PH, PW)
 
     def clip_local(gy, gx):
         """Global sample coords -> clipped patch-local int coords."""
@@ -259,6 +278,33 @@ def _describe_chunk(chunk: dict, stacks3: jax.Array, ss_statics, d_statics):
     return angle, words.astype(jnp.uint32)
 
 
+def _patch_backend() -> str:
+    """Patch-fetch backend: "pallas" = pipelined DMA gather kernel
+    (kernels/patch_pallas, bit-identical output, measured much faster than
+    the sequential XLA slice loop on v5e); "xla" = vmapped dynamic_slice.
+    Override with AKAZE_PATCH=pallas|xla (read at trace time)."""
+    env = os.environ.get("AKAZE_PATCH")
+    if env in ("pallas", "xla"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _gather_chunk_patches(chunk, stacks, ss_statics, d_statics):
+    """Pallas patch gather for one chunk (interpret-mode off-TPU so the CPU
+    test mesh exercises identical semantics)."""
+    from akaze_tpu.kernels.patch_pallas import gather_patches
+
+    lvl, _, _, _, _, _, y0, x0 = _chunk_geometry(chunk, ss_statics, d_statics)
+    # "frame" is one scalar per chunk in describe_batched; absent (single
+    # frame) it is 0.  The kernel wants it per keypoint.
+    frame = jnp.broadcast_to(chunk.get("frame", 0), lvl.shape)
+    return gather_patches(
+        stacks, frame, lvl, y0, x0, chunk["valid"],
+        ph=d_statics.ph, pw=d_statics.pw,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def describe_batched(
     kps: Keypoints,
     stacks: dict,
@@ -294,12 +340,26 @@ def describe_batched(
         "valid": prep(kps.valid),
         "frame": jnp.repeat(jnp.arange(B, dtype=jnp.int32), nc),
     }
-    stacks3 = jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]], axis=1)
+    use_pallas_patches = _patch_backend() == "pallas"
+    # The Pallas gather reads Lt/Lx/Ly directly, so the (F, 3, L, H0, W0)
+    # channel concat the XLA slice path needs is never materialized in HBM.
+    stacks3 = (
+        None
+        if use_pallas_patches
+        else jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]], axis=1)
+    )
     nwords = d_statics.config.descriptor_words
 
     def body(chunk):
         def live(_):
-            return _describe_chunk(chunk, stacks3, ss_statics, d_statics)
+            patches = (
+                _gather_chunk_patches(chunk, stacks, ss_statics, d_statics)
+                if use_pallas_patches
+                else None
+            )
+            return _describe_chunk(
+                chunk, stacks3, ss_statics, d_statics, patches=patches
+            )
 
         def dead(_):
             return (
@@ -357,12 +417,28 @@ def describe(
     def prep(a):
         return jnp.pad(a, (0, pad)).reshape(n_chunks, C)
 
-    fields = {"x": prep(kps.x), "y": prep(kps.y), "class_id": prep(kps.class_id)}
-    stacks3 = jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]])
-
-    angles, descs = jax.lax.map(
-        lambda ch: _describe_chunk(ch, stacks3, ss_statics, d_statics), fields
+    fields = {
+        "x": prep(kps.x),
+        "y": prep(kps.y),
+        "class_id": prep(kps.class_id),
+        "valid": prep(kps.valid),
+    }
+    use_pallas_patches = _patch_backend() == "pallas"
+    stacks3 = (
+        None
+        if use_pallas_patches
+        else jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]])
     )
+
+    def chunk_body(ch):
+        patches = (
+            _gather_chunk_patches(ch, stacks, ss_statics, d_statics)
+            if use_pallas_patches
+            else None
+        )
+        return _describe_chunk(ch, stacks3, ss_statics, d_statics, patches=patches)
+
+    angles, descs = jax.lax.map(chunk_body, fields)
     angles = angles.reshape(-1)[:M]
     descs = descs.reshape(n_chunks * C, -1)[:M]
 
