@@ -77,7 +77,7 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.akaze_cpu_bench_pipeline.restype = ctypes.c_double
     lib.akaze_cpu_bench_pipeline.argtypes = [
-        f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     _LIB = lib
     return lib
@@ -151,10 +151,15 @@ def extract_native(img: np.ndarray, config=None, max_out: int = 4096):
 
 
 def bench_pipeline_native(
-    img_a: np.ndarray, img_b: np.ndarray, reps: int = 3
+    img_a: np.ndarray,
+    img_b: np.ndarray,
+    reps: int = 3,
+    diffusivity: str = "pm_g2",
 ) -> float:
     """Measured single-core CPU baseline: seconds per frame for the full
-    detect+describe+match pipeline on an image pair (BASELINE.md protocol)."""
+    detect+describe+match pipeline on an image pair (BASELINE.md protocol).
+    `diffusivity` selects the conductivity variant so config-3 comparisons
+    are same-variant on both sides."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native AKAZE unavailable (no g++?)")
@@ -163,6 +168,7 @@ def bench_pipeline_native(
     assert img_a.shape == img_b.shape and img_a.ndim == 2
     return float(
         lib.akaze_cpu_bench_pipeline(
-            img_a, img_b, img_a.shape[0], img_a.shape[1], reps
+            img_a, img_b, img_a.shape[0], img_a.shape[1], reps,
+            _DIFFUSIVITY_CODE[diffusivity],
         )
     )

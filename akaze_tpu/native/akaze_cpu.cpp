@@ -701,13 +701,16 @@ int akaze_cpu_extract(const float* img, int h, int w, int num_octaves,
 }
 
 // BASELINE.md measurement: single-core detect+describe+match over an
-// image pair, default reference config.  Returns seconds per frame
-// (extract both + brute-force Hamming match, / 2 frames), averaged over
-// `reps` repetitions.  This IS the reference baseline number — the same
-// protocol the TPU headline metric uses (BASELINE.json config 1+2 core).
+// image pair, reference config with the requested conductivity variant
+// (0 = g1, 1 = g2 default, 2 = weickert) so each BASELINE.json config-3
+// variant compares against a same-variant CPU baseline.  Returns seconds
+// per frame (extract both + brute-force Hamming match, / 2 frames),
+// averaged over `reps` repetitions.  This IS the reference baseline number —
+// the same protocol the TPU headline metric uses (BASELINE.json config 1+2).
 double akaze_cpu_bench_pipeline(const float* img_a, const float* img_b, int h,
-                                int w, int reps) {
+                                int w, int reps, int diffusivity) {
   Config cfg;
+  cfg.diffusivity = diffusivity;
   const int max_out = 4096;
   std::vector<float> kps_a(max_out * 7), kps_b(max_out * 7);
   std::vector<uint8_t> desc_a(max_out * 61), desc_b(max_out * 61);
