@@ -97,7 +97,9 @@ def _gather_kernel(
                 patch = pltpu.roll(patch, jax.lax.rem(PHA - dy, PHA), 1)
             if PWA > PW:
                 patch = pltpu.roll(patch, jax.lax.rem(PWA - dx, PWA), 2)
-            out_ref[pl.ds(k, 1)] = patch[None, :, :PH, :PW]
+            # No None/newaxis indexing here: mixing newaxis into the subscript
+            # sends jnp down the gather path, which Mosaic can't lower >2D.
+            out_ref[pl.ds(k, 1)] = jnp.expand_dims(patch[:, :PH, :PW], 0)
 
         @pl.when(valid_ref[base + k] == 0)
         def _():
