@@ -98,13 +98,20 @@ def main(argv=None) -> int:
         ka, kb = fa.keypoints, fb.keypoints
         va = np.asarray(ka.valid)
         vb = np.asarray(kb.valid)
-        # Valid slots are a prefix (response-sorted top-k), so accepted match
-        # indices index the compacted arrays directly.
+        # Accepted match indices are SLOT indices; valid slots may have holes
+        # (sub-pixel rejects are discarded without backfill, like the
+        # reference), so remap slots to compacted positions.
+        pos_a = np.cumsum(va) - 1
+        pos_b = np.cumsum(vb) - 1
+        pairs = (
+            np.stack([pos_a[ia], pos_b[ib]], axis=1)
+            if len(ia) else np.zeros((0, 2), np.int64)
+        )
         canvas = render_matches(
             img_a, img_b,
             np.asarray(ka.x)[va], np.asarray(ka.y)[va], np.asarray(ka.size)[va],
             np.asarray(kb.x)[vb], np.asarray(kb.y)[vb], np.asarray(kb.size)[vb],
-            np.stack([ia, ib], axis=1) if len(ia) else np.zeros((0, 2), np.int64),
+            pairs,
         )
         save_image(args.viz, canvas)
 

@@ -164,30 +164,32 @@ def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
     return valid & jnp.logical_not(suppressed)
 
 
-def subpixel_from_fields(cand: dict, ox_field: jax.Array, oy_field: jax.Array,
-                         statics: ScaleSpaceStatics):
-    """Sub-pixel refinement from dense offset fields (kernels/detect_pallas):
-    TWO flat gathers per candidate instead of nine scattered Ldet reads.
-    Rejected fits arrive as NaN."""
-    L = statics.num_levels
-    idx = cand["flat"]  # (L, K) within-level flat index
-    ox = jnp.take_along_axis(ox_field.reshape(L, -1), idx, axis=1)
-    oy = jnp.take_along_axis(oy_field.reshape(L, -1), idx, axis=1)
+def subpixel_from_fields(lvl, flat, xi, yi, ox_field: jax.Array,
+                         oy_field: jax.Array, statics: ScaleSpaceStatics):
+    """Sub-pixel refinement from dense offset fields for the SELECTED
+    keypoints (all args (M,)): two flat gathers per keypoint instead of nine
+    scattered Ldet reads.  Rejected fits arrive as NaN.  Running this after
+    top-M selection matches the reference order exactly (golden/akaze.py:238
+    refines the kept set and discards |offset| > 1 without backfilling) and
+    gathers 4x fewer elements than refining every candidate."""
+    npx = statics.h0 * statics.w0
+    gidx = lvl * np.int32(npx) + flat
+    ox = ox_field.reshape(-1)[gidx]
+    oy = oy_field.reshape(-1)[gidx]
     keep = jnp.logical_not(jnp.isnan(ox))
     ox = jnp.where(keep, ox, 0.0)
     oy = jnp.where(keep, oy, 0.0)
-    ratios = jnp.asarray(statics.ratios)[:, None]
-    xf = (cand["xi"].astype(jnp.float32) + ox) * ratios
-    yf = (cand["yi"].astype(jnp.float32) + oy) * ratios
+    ratios = jnp.asarray(statics.ratios)[lvl]
+    xf = (xi.astype(jnp.float32) + ox) * ratios
+    yf = (yi.astype(jnp.float32) + oy) * ratios
     return xf, yf, keep
 
 
-def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
-    """2-var quadratic fit on Ldet per candidate; reject |offset| > 1
-    (SURVEY.md §2 C9).  Returns octave-0 (x, y) float coords + keep mask."""
-    lvl = jnp.arange(statics.num_levels, dtype=jnp.int32)[:, None]
-    lvl = jnp.broadcast_to(lvl, cand["yi"].shape)
-    y, x = cand["yi"], cand["xi"]
+def subpixel_refine(lvl, y, x, ldet: jax.Array, statics: ScaleSpaceStatics):
+    """2-var quadratic fit on Ldet for the SELECTED keypoints (lvl/y/x all
+    (M,)); reject |offset| > 1 (SURVEY.md §2 C9).  Runs after top-M
+    selection like the reference (golden/akaze.py:238: refine the kept set,
+    discard rejects without backfill).  Returns octave-0 (x, y) + keep."""
 
     def at(dy, dx):
         return ldet[lvl, y + dy, x + dx]
@@ -203,7 +205,7 @@ def subpixel_refine(cand: dict, ldet: jax.Array, statics: ScaleSpaceStatics):
     ox = (-dxv * dyy + dyv * dxy) / safe_det
     oy = (-dyv * dxx + dxv * dxy) / safe_det
     keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
-    ratios = jnp.asarray(statics.ratios)[:, None]
+    ratios = jnp.asarray(statics.ratios)[lvl]
     xf = (x.astype(jnp.float32) + ox) * ratios
     yf = (y.astype(jnp.float32) + oy) * ratios
     return xf, yf, keep
@@ -224,14 +226,9 @@ def detect(
     else:
         cand = dict(cand)
     cand["valid"] = cross_level_nms(cand, statics)
-    if subpix is not None:
-        xf, yf, keep = subpixel_from_fields(cand, subpix[0], subpix[1], statics)
-    else:
-        xf, yf, keep = subpixel_refine(cand, ldet, statics)
-    valid = cand["valid"] & keep
 
-    L, K = valid.shape
-    flat_valid = valid.reshape(-1)
+    L, K = cand["valid"].shape
+    flat_valid = cand["valid"].reshape(-1)
     flat_resp = jnp.where(flat_valid, cand["resp"].reshape(-1), _NEG)
     M = cfg.max_keypoints
     # Small images can have fewer candidate slots than the output capacity.
@@ -245,16 +242,30 @@ def detect(
         return a.reshape(-1)[order]
 
     lvl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K))
+    class_id = take(lvl)
+    xi = take(cand["xi"])
+    yi = take(cand["yi"])
+
+    # Sub-pixel refinement AFTER selection, on the M winners only — the
+    # reference order (golden/akaze.py:238): rejected fits are discarded
+    # without backfilling lower-response candidates into the freed slots.
+    if subpix is not None:
+        flat = take(cand["flat"])
+        xf, yf, keep = subpixel_from_fields(
+            class_id, flat, xi, yi, subpix[0], subpix[1], statics
+        )
+    else:
+        xf, yf, keep = subpixel_refine(class_id, yi, xi, ldet, statics)
+
     sizes = jnp.asarray(statics.sizes)
     octaves = jnp.asarray(statics.octaves)
-    class_id = take(lvl)
     return Keypoints(
-        x=take(xf.reshape(L, K)),
-        y=take(yf.reshape(L, K)),
+        x=xf,
+        y=yf,
         response=top_resp,
         size=sizes[class_id],
         octave=octaves[class_id],
         class_id=class_id,
         angle=jnp.zeros((M,), jnp.float32),
-        valid=top_resp > _NEG,
+        valid=(top_resp > _NEG) & keep,
     )
