@@ -343,11 +343,14 @@ def describe_batched(
     use_pallas_patches = _patch_backend() == "pallas"
     # The Pallas gather reads Lt/Lx/Ly directly, so the (F, 3, L, H0, W0)
     # channel concat the XLA slice path needs is never materialized in HBM.
-    stacks3 = (
-        None
-        if use_pallas_patches
-        else jnp.stack([stacks["Lt"], stacks["Lx"], stacks["Ly"]], axis=1)
-    )
+    if use_pallas_patches:
+        stacks3 = None
+    else:
+        lt, lx, ly = stacks["Lt"], stacks["Lx"], stacks["Ly"]
+        if stacks.get("level_major", False) and lt.ndim == 4:
+            # Debug path (AKAZE_PATCH=xla on TPU): pay the transpose.
+            lt, lx, ly = (jnp.moveaxis(a, 0, 1) for a in (lt, lx, ly))
+        stacks3 = jnp.stack([lt, lx, ly], axis=1)
     nwords = d_statics.config.descriptor_words
 
     def body(chunk):

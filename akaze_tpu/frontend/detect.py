@@ -164,18 +164,18 @@ def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
     return valid & jnp.logical_not(suppressed)
 
 
-def subpixel_from_fields(lvl, flat, xi, yi, ox_field: jax.Array,
+def subpixel_from_fields(lvl, xi, yi, ox_field: jax.Array,
                          oy_field: jax.Array, statics: ScaleSpaceStatics):
     """Sub-pixel refinement from dense offset fields for the SELECTED
-    keypoints (all args (M,)): two flat gathers per keypoint instead of nine
+    keypoints (all args (M,)): two gathers per keypoint instead of nine
     scattered Ldet reads.  Rejected fits arrive as NaN.  Running this after
     top-M selection matches the reference order exactly (golden/akaze.py:238
     refines the kept set and discards |offset| > 1 without backfilling) and
-    gathers 4x fewer elements than refining every candidate."""
-    npx = statics.h0 * statics.w0
-    gidx = lvl * np.int32(npx) + flat
-    ox = ox_field.reshape(-1)[gidx]
-    oy = oy_field.reshape(-1)[gidx]
+    gathers 4x fewer elements than refining every candidate.  Multi-dim
+    indexing (no reshape) keeps the stacked fields in their producer layout
+    — a flat reshape of the level-stacked plane forces a relayout copy."""
+    ox = ox_field[lvl, yi, xi]
+    oy = oy_field[lvl, yi, xi]
     keep = jnp.logical_not(jnp.isnan(ox))
     ox = jnp.where(keep, ox, 0.0)
     oy = jnp.where(keep, oy, 0.0)
@@ -250,9 +250,8 @@ def detect(
     # reference order (golden/akaze.py:238): rejected fits are discarded
     # without backfilling lower-response candidates into the freed slots.
     if subpix is not None:
-        flat = take(cand["flat"])
         xf, yf, keep = subpixel_from_fields(
-            class_id, flat, xi, yi, subpix[0], subpix[1], statics
+            class_id, xi, yi, subpix[0], subpix[1], statics
         )
     else:
         xf, yf, keep = subpixel_refine(class_id, yi, xi, ldet, statics)

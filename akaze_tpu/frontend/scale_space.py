@@ -218,18 +218,27 @@ def detector_response_level(lsmooth: jax.Array, spec: EvolutionSpec):
 
 
 def stack_levels(
-    levels: list[jax.Array], specs: List[EvolutionSpec], fill: float = 0.0
+    levels: list[jax.Array],
+    specs: List[EvolutionSpec],
+    fill: float = 0.0,
+    level_major: bool = False,
 ) -> jax.Array:
     """Pad each level into the octave-0 frame and stack: (L, H0, W0).
     Level l lives at [:h_l, :w_l]; the pad region is never read (the static
     interior masks exclude it).  `fill` pads candidate-score stacks with the
-    -3e38 sentinel so padding can never win a top-k."""
+    -3e38 sentinel so padding can never win a top-k.
+
+    level_major=True stacks batched (B, h, w) levels on axis 0 -> (L, B, H0,
+    W0): the level writes are then contiguous in the DEFAULT layout, so XLA
+    never inserts the (B, L, H0, W0) relayout copy that default-layout
+    consumers (e.g. Pallas ANY-space operands) force on the axis=-3 stack
+    (~1 ms/stack/batch16 on v5e)."""
     h0, w0 = specs[0].height, specs[0].width
     padded = []
     for lvl, spec in zip(levels, specs):
         pad = [(0, 0)] * (lvl.ndim - 2) + [(0, h0 - spec.height), (0, w0 - spec.width)]
         padded.append(jnp.pad(lvl, pad, constant_values=fill))
-    return jnp.stack(padded, axis=-3)
+    return jnp.stack(padded, axis=0 if level_major else -3)
 
 
 class ScaleSpaceStatics:

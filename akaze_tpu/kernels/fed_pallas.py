@@ -420,11 +420,15 @@ def build_scale_space_pallas_batched(
                 oxs.append(ox_)
                 oys.append(oy_)
         seed = lts[-1]
+    # Lt/Lx/Ly feed the Pallas patch gather (default-layout ANY operands):
+    # level-major stacking keeps them copy-free (see stack_levels).  The
+    # detect stacks stay frame-major for the vmapped detection path.
     out = {
-        "Lt": stack_levels(lts, specs),
-        "Lx": stack_levels(lxs, specs),
-        "Ly": stack_levels(lys, specs),
+        "Lt": stack_levels(lts, specs, level_major=True),
+        "Lx": stack_levels(lxs, specs, level_major=True),
+        "Ly": stack_levels(lys, specs, level_major=True),
         "Ldet": stack_levels(ldets, specs),
+        "level_major": True,
     }
     if with_detect:
         out["score"] = stack_levels(scores, specs, fill=_NEG)
@@ -434,6 +438,12 @@ def build_scale_space_pallas_batched(
 
 
 def build_scale_space_pallas(img: jax.Array, statics, with_detect: bool = False) -> dict:
-    """Single-frame wrapper over the batched builder."""
+    """Single-frame wrapper over the batched builder.  Slicing the frame
+    axis off both stack flavors yields identical (L, H0, W0) arrays, so the
+    level_major flag is moot (and dropped) for single frames."""
     out = build_scale_space_pallas_batched(img[None], statics, with_detect)
-    return jax.tree.map(lambda a: a[0], out)
+    lm = out.pop("level_major", False)
+    return {
+        k: (v[:, 0] if lm and k in ("Lt", "Lx", "Ly") else v[0])
+        for k, v in out.items()
+    }

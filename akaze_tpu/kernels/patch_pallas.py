@@ -184,16 +184,24 @@ def gather_patches(
 ) -> jax.Array:
     """Gather per-keypoint patches from the level stacks.
 
-    stacks: dict with "Lt", "Lx", "Ly" of shape (F, L, H0, W0) (or (L, H0, W0)
-    for a single frame).  frame/lvl/y0/x0/valid: (N,) int arrays; y0/x0 are
-    the DESIRED (unaligned) patch origins, exactly as frontend/describe.py
-    computes them.  Returns (N, 3, ph, pw) f32 with
-    out[n, c] == stacks[c][frame[n], lvl[n], y0[n]:y0[n]+ph, x0[n]:x0[n]+pw]
+    stacks: dict with "Lt", "Lx", "Ly" of shape (F, L, H0, W0) — or
+    (L, F, H0, W0) when stacks["level_major"] is set (the copy-free layout
+    the batched TPU builder emits; see frontend/scale_space.stack_levels) —
+    or (L, H0, W0) for a single frame.  frame/lvl/y0/x0/valid: (N,) int
+    arrays; y0/x0 are the DESIRED (unaligned) patch origins, exactly as
+    frontend/describe.py computes them.  Returns (N, 3, ph, pw) f32 with
+    out[n, c] == Lt-like[frame[n], lvl[n], y0[n]:y0[n]+ph, x0[n]:x0[n]+pw]
     for valid slots and zeros for invalid ones.
     """
     lt, lx, ly = stacks["Lt"], stacks["Lx"], stacks["Ly"]
+    level_major = bool(stacks.get("level_major", False)) and lt.ndim == 4
     if lt.ndim == 3:
         lt, lx, ly = lt[None], lx[None], ly[None]
+    if level_major:
+        # (L, F, ...): the kernel's leading-two index order is positional,
+        # so swapping the index operands reads the level-major layout
+        # without any transpose.
+        frame, lvl = lvl, frame
     return _gather(
         lt, lx, ly, frame, lvl, y0, x0, valid, ph=ph, pw=pw, interpret=interpret
     )

@@ -26,9 +26,13 @@ def test_fed_pallas_matches_xla(diff):
         got = jax.jit(lambda im: build_scale_space_pallas_batched(im, st))(
             jnp.asarray(imgs)
         )
+    lm = got.get("level_major", False)
     for key in ("Lt", "Lx", "Ly", "Ldet"):
+        g = np.asarray(got[key])
+        if lm and key in ("Lt", "Lx", "Ly"):
+            g = np.moveaxis(g, 0, 1)  # level-major -> frame-major for compare
         np.testing.assert_allclose(
-            np.asarray(got[key]), np.asarray(ref[key]), atol=2e-5,
+            g, np.asarray(ref[key]), atol=2e-5,
             err_msg=key,
         )
 

@@ -72,6 +72,30 @@ def test_gather_matches_slice_odd_planes():
     _run(*_random_case(rng, F=2, L=3, H=51, W=200, N=32, ph=24, pw=48), 24, 48)
 
 
+def test_gather_level_major_stacks():
+    """(L, F, H, W) level-major stacks (the copy-free batched-TPU layout)
+    must gather byte-identically to the frame-major layout."""
+    rng = np.random.default_rng(3)
+    stk, frame, lvl, y0, x0, valid = _random_case(
+        rng, F=3, L=4, H=96, W=256, N=64, ph=40, pw=64
+    )
+    want = _oracle(stk, frame, lvl, y0, x0, valid, 40, 64)
+    stk_lm = {k: jnp.moveaxis(v, 0, 1) for k, v in stk.items()}
+    stk_lm["level_major"] = True
+    got = gather_patches(
+        stk_lm,
+        jnp.asarray(frame, jnp.int32),
+        jnp.asarray(lvl, jnp.int32),
+        jnp.asarray(y0, jnp.int32),
+        jnp.asarray(x0, jnp.int32),
+        jnp.asarray(valid),
+        ph=40,
+        pw=64,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_gather_single_frame_stacks():
     rng = np.random.default_rng(2)
     stk4, frame, lvl, y0, x0, valid = _random_case(
