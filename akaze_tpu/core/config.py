@@ -62,6 +62,12 @@ class AkazeConfig:
     # TPU front-end only: raw extrema candidates kept per scale-space level
     # before cross-level NMS (top-K by response; SURVEY.md §7.3 extrema plan).
     per_level_candidates: int = 256
+    # TPU front-end only: approx_max_k recall target for candidate top-K.
+    # 0.95 shrinks the PartialReduce intermediate and its sort (~2 ms /
+    # batch16 vs 0.98) with IDENTICAL keypoint+match outputs measured on the
+    # v5e headline content (any recall loss hits only candidates far below
+    # the NMS/top-M cut).  Raise toward 1.0 for exact-parity debugging.
+    candidate_recall: float = 0.95
 
     @property
     def num_levels(self) -> int:

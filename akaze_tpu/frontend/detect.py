@@ -66,7 +66,9 @@ def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None):
     # approx_max_k: TPU-optimized partial reduction (~10x faster than exact
     # top_k on 300k-wide rows).  Real extrema above threshold are sparse
     # (hundreds per level), so recall at K=256 is effectively exact.
-    resp, idx = jax.lax.approx_max_k(flat, K, recall_target=0.98)  # (L, K)
+    resp, idx = jax.lax.approx_max_k(
+        flat, K, recall_target=cfg.candidate_recall
+    )  # (L, K)
     valid = resp > _NEG
     yi = idx // w0
     xi = idx % w0
@@ -94,7 +96,7 @@ def find_candidates_batched(scores: jax.Array, statics: ScaleSpaceStatics):
             n += 1
         flat = scores[:, lvl : lvl + n, :h, :w].reshape(B * n, h * w)
         k = min(K, h * w)
-        resp, idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
+        resp, idx = jax.lax.approx_max_k(flat, k, recall_target=cfg.candidate_recall)
         if k < K:
             resp = jnp.pad(resp, ((0, 0), (0, K - k)), constant_values=_NEG)
             idx = jnp.pad(idx, ((0, 0), (0, K - k)))

@@ -10,6 +10,7 @@ Usage (from /tmp so only PYTHONPATH picks the tree):
 Distinct pre-uploaded inputs per rep, amortized timing, small consumed
 outputs — per the verify-skill measurement gotchas.  Round-2 baseline:
 ~39.5 ms/batch16 (~405 fps) on one v5e chip."""
+import os
 import sys
 import time
 
@@ -23,7 +24,7 @@ from akaze_tpu.utils.synthetic import video_sequence
 
 label = sys.argv[1] if len(sys.argv) > 1 else "?"
 config, mcfg = AkazeConfig(), MatchConfig()
-batch = 16
+batch = int(os.environ.get("AB_BATCH", "16"))
 frame_sets = [jnp.asarray(video_sequence(batch, 480, 640, seed=s)) for s in range(6)]
 jax.block_until_ready(frame_sets)
 
