@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,17 @@ def hamming_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(xor), axis=-1).astype(jnp.int32)
 
 
+def _match_backend() -> str:
+    """Matcher backend: "pallas" = one-pass VMEM-resident reduction kernel
+    (kernels/match_pallas, identical outputs, skips the HBM distance-cube
+    round trips); "xla" = the dense formulation below.  Override with
+    AKAZE_MATCH=pallas|xla (read at trace time)."""
+    env = os.environ.get("AKAZE_MATCH")
+    if env in ("pallas", "xla"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def match_fn(
     desc_a: jax.Array,
     valid_a: jax.Array,
@@ -49,6 +61,22 @@ def match_fn(
     config: MatchConfig,
 ) -> Matches:
     """Traceable matcher core (golden.matching semantics, fixed shapes)."""
+    if _match_backend() == "pallas":
+        from akaze_tpu.kernels.match_pallas import match_reduce
+
+        best, second, nn_b, _, nn_a = match_reduce(
+            desc_a, valid_a, desc_b, valid_b,
+            interpret=jax.default_backend() != "tpu",
+        )
+        rows = jnp.arange(desc_a.shape[0])
+        ok = valid_a & (best <= config.max_distance)
+        ok &= best.astype(jnp.float32) < config.ratio * second.astype(
+            jnp.float32
+        )
+        if config.mutual:
+            ok &= nn_a[nn_b] == rows
+        return Matches(idx_b=nn_b, distance=best, accepted=ok)
+
     d = hamming_distance_matrix(desc_a, desc_b)
     d = jnp.where(valid_b[None, :], d, _BIG)
     nn_b = jnp.argmin(d, axis=1)
