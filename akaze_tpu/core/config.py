@@ -61,6 +61,10 @@ class AkazeConfig:
     max_keypoints: int = 1024
     # TPU front-end only: raw extrema candidates kept per scale-space level
     # before cross-level NMS (top-K by response; SURVEY.md §7.3 extrema plan).
+    # 128 would win ~0.7 ms/batch16 (smaller approx-top-k sorts) and matches
+    # 256 exactly on typical content, but FAILS the repetitive-grid
+    # adversarial parity gate (tests/test_scene_regression.py) — dense
+    # repetitive extrema overflow a 128 cap.  Keep 256.
     per_level_candidates: int = 256
     # TPU front-end only: approx_max_k recall target for candidate top-K.
     # 0.95 shrinks the PartialReduce intermediate and its sort (~2 ms /

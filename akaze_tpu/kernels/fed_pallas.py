@@ -289,7 +289,13 @@ def fused_octave_batched(
 # octaves 2-3 are per-op-ISSUE-bound in Mosaic (an 80x60 level costs
 # nearly as much as a 640x480 one per program) while XLA batches the
 # (B, h, w) levels natively and fuses the stencil chains.
-_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "2"))
+# RE-MEASURED at the round-2 close (22.4 ms operating point, after the
+# dense-field/top-k/matcher wins): split 3 now beats split 2 by ~0.7 ms
+# (21.7 vs 22.4 ms/batch16; split 1 loses at 26.3) — the XLA octave-2 path
+# lost its fusion partners as surrounding stages moved into kernels.
+# Golden-parity spot check at split 3 matches split 2 (0.974 vs 0.971
+# position match, descriptor Hamming mean 3.9 vs 4.4 on VGA).
+_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "3"))
 
 _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
