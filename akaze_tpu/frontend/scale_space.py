@@ -81,7 +81,20 @@ def half_size(img: jax.Array) -> jax.Array:
 
 def compute_contrast_factor(img: jax.Array, config: AkazeConfig) -> jax.Array:
     """k = |grad| at the percentile of a histogram over interior pixels
-    (SURVEY.md §2 C6).
+    (SURVEY.md §2 C6)."""
+    smoothed = gaussian_blur(img, 1.0)
+    lx = scharr(smoothed, 1, 0, 1)
+    ly = scharr(smoothed, 0, 1, 1)
+    return contrast_factor_from_modg(jnp.sqrt(lx * lx + ly * ly), config)
+
+
+def contrast_factor_from_modg(modg: jax.Array, config: AkazeConfig) -> jax.Array:
+    """Histogram-percentile contrast factor from a precomputed |grad(G1*L)|
+    plane (full-resolution; the 1-px frame is excluded here).
+
+    Split out so the fused Mosaic base-stage kernel (kernels/fed_pallas
+    base_stage_batched) can produce `modg` on-chip while this histogram
+    stays in XLA (it needs two data-dependent global reduction passes).
 
     The histogram percentile is computed WITHOUT a scatter: `jnp.bincount`
     lowers to a serialized scatter-add on TPU (~1.2 ms/frame — ~25 % of the
@@ -92,10 +105,7 @@ def compute_contrast_factor(img: jax.Array, config: AkazeConfig) -> jax.Array:
     coarse block containing the crossing, then the fine bin inside it.
     Bit-exact vs the bincount formulation (same `floor` quantization, same
     integer counts, same first-crossing argmax)."""
-    smoothed = gaussian_blur(img, 1.0)
-    lx = scharr(smoothed, 1, 0, 1)
-    ly = scharr(smoothed, 0, 1, 1)
-    modg = jnp.sqrt(lx * lx + ly * ly)[..., 1:-1, 1:-1]
+    modg = modg[..., 1:-1, 1:-1]
     hmax = jnp.max(modg)
     valid = modg > 0.0
     npoints = jnp.sum(valid)

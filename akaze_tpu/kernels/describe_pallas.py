@@ -316,7 +316,7 @@ def _run(kx, ky, class_id, valid, stacks3, *, ss_statics, d_statics, interpret):
             # at a traced index inside the fori_loop.
             pl.BlockSpec((CK, 8), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
             *([vmem_full] * len(statics)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((CK, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),

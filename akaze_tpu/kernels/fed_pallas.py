@@ -281,6 +281,45 @@ def fused_octave_batched(
     )(k.reshape(b).astype(jnp.float32), seed)
 
 
+def _base_kernel(img_ref, seed_out, modg_out, *, sigma0):
+    """Base stage for one frame, fully in VMEM: seed = G_{sigma0} * img and
+    modg = |grad(G_{1.0} * img)| (Scharr) — the two full-resolution products
+    every octave chain starts from (SURVEY.md §3.1: `gaussian_blur(img,
+    sigma0)` + the contrast-factor gradient).  Keeping them in one program
+    reads the frame from HBM once instead of running ~8 separate XLA conv
+    passes over it (measured ~1.5 ms/batch16 of base-resolution fusions)."""
+    x = img_ref[...]
+    k0 = gaussian_kernel(sigma0)
+    seed_out[...] = _sep_conv(x, k0, k0)
+    k1 = gaussian_kernel(1.0)
+    sm = _sep_conv(x, k1, k1)
+    gx = _scharr(sm, 1, 1)
+    gy = _scharr(sm, 0, 1)
+    modg_out[...] = jnp.sqrt(gx * gx + gy * gy)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma0",))
+def base_stage_batched(imgs: jax.Array, sigma0: float):
+    """(B, H, W) frames -> (seed, modg), each (B, H, W) f32, one program per
+    frame.  The contrast-factor histogram over `modg` stays in XLA
+    (frontend.scale_space.contrast_factor_from_modg): it needs two
+    data-dependent global reductions, which are cheap there."""
+    b, h, w = imgs.shape
+    kernel = functools.partial(_base_kernel, sigma0=sigma0)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(imgs.astype(jnp.float32))
+
+
 # Octaves below this index run the fused Mosaic kernel (VMEM-resident FED
 # chain — the element-bound regime where it wins); octaves at/above it run
 # the portable XLA path on native-resolution batched arrays.  Measured
@@ -385,13 +424,22 @@ def build_scale_space_pallas_batched(
     off each octave's outputs) — this replaces the separate per-(frame,
     level) detect_scores_pallas pass and its padded-stack HBM round trip."""
     from akaze_tpu.frontend.scale_space import (
-        compute_contrast_factor, gaussian_blur, half_size, stack_levels,
+        compute_contrast_factor, contrast_factor_from_modg, gaussian_blur,
+        half_size, stack_levels,
     )
 
     config = statics.config
     specs = statics.specs
-    k = jax.vmap(lambda im: compute_contrast_factor(im, config))(imgs)  # (B,)
-    seed = gaussian_blur(imgs.astype(jnp.float32), config.base_scale_offset)
+    if _PALLAS_OCTAVES > 0:
+        # Fused base stage: one Mosaic program per frame produces the seed
+        # and the contrast-gradient plane in a single HBM pass.
+        seed, modg = base_stage_batched(
+            imgs.astype(jnp.float32), float(config.base_scale_offset)
+        )
+        k = jax.vmap(lambda m: contrast_factor_from_modg(m, config))(modg)
+    else:
+        k = jax.vmap(lambda im: compute_contrast_factor(im, config))(imgs)  # (B,)
+        seed = gaussian_blur(imgs.astype(jnp.float32), config.base_scale_offset)
     octaves: list[tuple] = []
     for spec in specs:
         if not octaves or spec.octave != octaves[-1][0]:

@@ -79,7 +79,9 @@ def bench_headline() -> None:
 
     config = AkazeConfig()
     mcfg = MatchConfig()
-    batch = 16
+    # Batch 64 beats 16 by ~3.5% on v5e (766 vs 740 fps measured 2026-08-18):
+    # per-dispatch fixed costs amortize; beyond 64 the gain flattens.
+    batch = 64
     frames = jnp.asarray(video_sequence(batch, 480, 640, seed=0))
 
     @jax.jit
@@ -203,7 +205,7 @@ def bench_conductivity() -> None:
     from akaze_tpu.frontend.pipeline import extract_batch_fn
     from akaze_tpu.utils.synthetic import video_sequence
 
-    batch = 16  # headline-identical batching so the ratio isolates the variant
+    batch = 64  # headline-identical batching so the ratio isolates the variant
     frames = jnp.asarray(video_sequence(batch, 480, 640, seed=0))
     for diff in (Diffusivity.PM_G1, Diffusivity.WEICKERT):
         config = AkazeConfig(diffusivity=diff)
