@@ -188,13 +188,15 @@ def _describe_chunk(
     PH, PW = d_statics.ph, d_statics.pw
 
     if patches is None:
-        if stacks3.ndim == 5:  # batched stacks (F,3,L,H0,W0) + per-chunk frame
-            f = chunk["frame"]
+        if stacks3.ndim == 5:  # batched stacks (F,3,L,H0,W0) + per-kp frame
 
-            def slice_one(l, y, x):
+            def slice_one(f, l, y, x):
                 return jax.lax.dynamic_slice(
                     stacks3, (f, 0, l, y, x), (1, 3, 1, PH, PW)
                 )[0, :, 0]
+
+            frame = jnp.broadcast_to(chunk["frame"], lvl.shape)
+            patches = jax.vmap(slice_one)(frame, lvl, y0, x0)
         else:
 
             def slice_one(l, y, x):
@@ -202,7 +204,7 @@ def _describe_chunk(
                     stacks3, (0, l, y, x), (3, 1, PH, PW)
                 )[:, 0]
 
-        patches = jax.vmap(slice_one)(lvl, y0, x0)  # (C, 3, PH, PW)
+            patches = jax.vmap(slice_one)(lvl, y0, x0)  # (C, 3, PH, PW)
 
     def clip_local(gy, gx):
         """Global sample coords -> clipped patch-local int coords."""
@@ -336,15 +338,31 @@ def describe_batched(
     nc = (M + C - 1) // C
     pad = nc * C - M
 
-    def prep(a):
-        return jnp.pad(a, ((0, 0), (0, pad))).reshape(B * nc, C)
+    # Frame grouping: fold G frames' j-th chunks into ONE map step of G*C
+    # keypoints.  The chunk compute is HBM-bandwidth-bound on the one-hot
+    # matmul intermediates (same traffic either way), but each lax.map step
+    # pays a fixed ~40us while/cond dispatch shell — measured ~2.7 ms of the
+    # 19.5 ms batch-16 headline at G=1 (64 steps).  G=8 cuts the shell 8x.
+    # Liveness coarsens to the group (chunk j runs if ANY grouped frame has
+    # >j*C detections) — dead-chunk skipping still works per group since
+    # validity is a per-frame prefix.
+    G = max(1, min(int(os.environ.get("AKAZE_DESCRIBE_GROUP", "8")), B))
+    while B % G:
+        G -= 1
 
+    def prep(a):
+        a = jnp.pad(a, ((0, 0), (0, pad))).reshape(B // G, G, nc, C)
+        return jnp.swapaxes(a, 1, 2).reshape(B // G * nc, G * C)
+
+    frame_ids = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, nc * C)
+    )
     fields = {
         "x": prep(kps.x),
         "y": prep(kps.y),
         "class_id": prep(kps.class_id),
         "valid": prep(kps.valid),
-        "frame": jnp.repeat(jnp.arange(B, dtype=jnp.int32), nc),
+        "frame": prep(frame_ids),
     }
     use_pallas_patches = _patch_backend() == "pallas"
     # The Pallas gather reads Lt/Lx/Ly directly, so the (F, 3, L, H0, W0)
@@ -374,7 +392,7 @@ def describe_batched(
         # pays the ~40us while/cond dispatch on every one of the B*nc steps
         # even when the cond's dead branch runs; here dead chunks cost
         # nothing.  Live chunks are gathered via a live-first index order.
-        NC = B * nc
+        NC = fields["valid"].shape[0]
         live = jnp.any(fields["valid"], axis=1)
         n_live = jnp.sum(live.astype(jnp.int32))
         order = jnp.argsort(jnp.logical_not(live), stable=True).astype(
@@ -401,8 +419,8 @@ def describe_batched(
             body_fn,
             (
                 jnp.int32(0),
-                jnp.zeros((NC, C), jnp.float32),
-                jnp.zeros((NC, C, nwords), jnp.uint32),
+                jnp.zeros((NC, G * C), jnp.float32),
+                jnp.zeros((NC, G * C, nwords), jnp.uint32),
             ),
         )
     else:
@@ -413,15 +431,20 @@ def describe_batched(
 
             def dead(_):
                 return (
-                    jnp.zeros((C,), jnp.float32),
-                    jnp.zeros((C, nwords), jnp.uint32),
+                    jnp.zeros((G * C,), jnp.float32),
+                    jnp.zeros((G * C, nwords), jnp.uint32),
                 )
 
             return jax.lax.cond(jnp.any(chunk["valid"]), live, dead, None)
 
         angles, descs = jax.lax.map(body, fields)
-    angles = angles.reshape(B, nc * C)[:, :M]
-    descs = descs.reshape(B, nc * C, nwords)[:, :M]
+
+    def unprep(a):
+        a = a.reshape((B // G, nc, G, C) + a.shape[2:])
+        return jnp.swapaxes(a, 1, 2).reshape((B, nc * C) + a.shape[4:])
+
+    angles = unprep(angles)[:, :M]
+    descs = unprep(descs)[:, :M]
 
     kps = Keypoints(
         x=kps.x, y=kps.y, response=kps.response, size=kps.size,
