@@ -332,8 +332,11 @@ def base_stage_batched(imgs: jax.Array, sigma0: float):
 # dense-field/top-k/matcher wins): split 3 now beats split 2 by ~0.7 ms
 # (21.7 vs 22.4 ms/batch16; split 1 loses at 26.3) — the XLA octave-2 path
 # lost its fusion partners as surrounding stages moved into kernels.
-# Golden-parity spot check at split 3 matches split 2 (0.974 vs 0.971
-# position match, descriptor Hamming mean 3.9 vs 4.4 on VGA).
+# Golden-parity spot check at split 3 matches split 2; the round-2 "3.9-4.4
+# bit" reading was mostly a position-only pairing artifact — with level-aware
+# pairing the default split measures Hamming mean ~1.0 on VGA, and the
+# all-XLA path (split 0) measures 22.3: the Mosaic octaves are the FAITHFUL
+# ones (BASELINE.md round-3 attribution table; tools/parity_spot.py).
 _PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "3"))
 
 _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)

@@ -20,12 +20,20 @@ def _match_stats(gres, tfeat):
     valid = np.asarray(tfeat.keypoints.valid)
     tx = np.asarray(tfeat.keypoints.x)[valid]
     ty = np.asarray(tfeat.keypoints.y)[valid]
+    tl = np.asarray(tfeat.keypoints.class_id)[valid]
     td = np.asarray(tfeat.descriptors)[valid]
     ta = np.asarray(tfeat.keypoints.angle)[valid]
     gx = np.array([k.x for k in gres.keypoints])
     gy = np.array([k.y for k in gres.keypoints])
+    gl = np.array([k.class_id for k in gres.keypoints])
     ga = np.array([k.angle for k in gres.keypoints])
     d2 = (tx[:, None] - gx[None, :]) ** 2 + (ty[:, None] - gy[None, :]) ** 2
+    # Pair within the SAME evolution level: distinct extrema from adjacent
+    # levels can coincide in (x, y) (dense repetitive content) and a
+    # position-only NN pairs unrelated keypoints, reading as fake
+    # descriptor drift (round-3 bisect of the round-2 "3.9-4.4 bit" spot
+    # check attributed most of it to exactly this artifact).
+    d2 = np.where(tl[:, None] == gl[None, :], d2, np.inf)
     nn = d2.argmin(1)
     dmin = np.sqrt(d2.min(1))
     ok = dmin < 0.5
@@ -61,8 +69,12 @@ def test_keypoint_position_parity(parity):
 
 def test_descriptor_parity(parity):
     # SURVEY.md §7.3 gate: <= a few bits of 486 on matched keypoints.
-    assert np.median(parity["ham"]) <= 4
-    assert parity["ham"].mean() <= 8
+    # Round-3 tightening (verdict item 2): the CPU/XLA path measures
+    # bit-exact (mean 0.00) and the full TPU pipeline measures mean <= 1.8
+    # across the 5 adversarial scene classes at VGA (tools/parity_spot.py),
+    # so the old median<=4/mean<=8 budget was slack, not drift.
+    assert np.median(parity["ham"]) <= 1
+    assert parity["ham"].mean() <= 2.5
 
 
 def test_angle_parity(parity):
@@ -76,7 +88,8 @@ def test_conductivity_variants_parity(small_image, diff):
     gres = golden.extract(small_image, cfg)
     stats = _match_stats(gres, extract(small_image, cfg))
     assert stats["frac_pos"] >= 0.85
-    assert np.median(stats["ham"]) <= 4
+    assert np.median(stats["ham"]) <= 1
+    assert stats["ham"].mean() <= 2.5
 
 
 def test_batch_matches_single(small_image):
