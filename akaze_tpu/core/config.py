@@ -71,7 +71,31 @@ class AkazeConfig:
     # batch16 vs 0.98) with IDENTICAL keypoint+match outputs measured on the
     # v5e headline content (any recall loss hits only candidates far below
     # the NMS/top-M cut).  Raise toward 1.0 for exact-parity debugging.
+    # Parity cost measured round 3: +0.04 Hamming bits mean vs 1.0.
     candidate_recall: float = 0.95
+
+    # ---- TPU execution knobs (round-3: folded from env vars so identical
+    # configs always produce identical graphs; the AKAZE_* env vars remain
+    # as trace-time OVERRIDES for A/B tooling only — see _env_override). ----
+    # Octaves 0..N-1 run the fused Mosaic kernel chain; deeper octaves run
+    # XLA convs.  3 measured best at the round-2 close operating point
+    # (kernels/fed_pallas.py); also the parity-faithful side (BASELINE.md
+    # round-3 attribution: the all-XLA path drifts ~22 bits vs golden).
+    pallas_octaves: int = 3
+    # Patch fetch: "pallas" pipelined DMA gather / "xla" vmapped
+    # dynamic_slice / "auto" = pallas on TPU.
+    patch_backend: str = "auto"
+    # Describe stage: "fused" one-kernel describe (kernels/describe_fused,
+    # TPU default), "xla" chunked one-hot einsums, "pallas" the measured-
+    # losing per-keypoint kernel (kept for A/B); "auto" = fused on TPU.
+    describe_backend: str = "auto"
+    # Frames folded into one describe chunk step on the XLA path (bounds
+    # live one-hot memory at group*chunk keypoints; values > 16 risk VMEM
+    # pressure at VGA).
+    describe_group: int = 8
+    # XLA-describe chunk loop: "map" (lax.map), "while" (live-chunks-only
+    # dynamic loop), "unroll" (static; measured a wash round 3).
+    describe_loop: str = "map"
 
     @property
     def num_levels(self) -> int:
@@ -95,6 +119,25 @@ class AkazeConfig:
         return (self.descriptor_bytes + 3) // 4
 
 
+def _env_override(name: str, value, allowed=None, cast=None):
+    """Trace-time env override for a config knob (A/B tooling only; the
+    dataclass field is the source of truth).  Malformed values are ignored
+    with the config value kept."""
+    import os
+
+    env = os.environ.get(name)
+    if env is None:
+        return value
+    if cast is not None:
+        try:
+            return cast(env)
+        except ValueError:
+            return value
+    if allowed is not None and env not in allowed:
+        return value
+    return env
+
+
 @dataclasses.dataclass(frozen=True)
 class MatchConfig:
     """Brute-force Hamming matcher options (SURVEY.md §3.4)."""
@@ -105,6 +148,9 @@ class MatchConfig:
     mutual: bool = True
     # Absolute maximum Hamming distance for an acceptable match (<= 486).
     max_distance: int = 486
+    # "pallas" one-pass VMEM reduction kernel / "xla" dense distance cube /
+    # "auto" = pallas on TPU (identical outputs; round-2 measured win).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -280,15 +280,34 @@ def _describe_chunk(
     return angle, words.astype(jnp.uint32)
 
 
-def _patch_backend() -> str:
+def _patch_backend(config: AkazeConfig) -> str:
     """Patch-fetch backend: "pallas" = pipelined DMA gather kernel
     (kernels/patch_pallas, bit-identical output, measured much faster than
     the sequential XLA slice loop on v5e); "xla" = vmapped dynamic_slice.
-    Override with AKAZE_PATCH=pallas|xla (read at trace time)."""
-    env = os.environ.get("AKAZE_PATCH")
-    if env in ("pallas", "xla"):
-        return env
+    Source of truth is config.patch_backend; AKAZE_PATCH=pallas|xla is a
+    trace-time A/B override."""
+    from akaze_tpu.core.config import _env_override
+
+    b = _env_override("AKAZE_PATCH", config.patch_backend, allowed=("pallas", "xla"))
+    if b in ("pallas", "xla"):
+        return b
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _describe_backend(config: AkazeConfig) -> str:
+    """Describe backend: "fused" single-kernel describe (TPU default),
+    "xla" chunked one-hot einsums, "pallas" per-keypoint kernel (measured-
+    losing, kept for A/B).  Source of truth is config.describe_backend;
+    AKAZE_DESCRIBE is a trace-time A/B override."""
+    from akaze_tpu.core.config import _env_override
+
+    b = _env_override(
+        "AKAZE_DESCRIBE", config.describe_backend,
+        allowed=("fused", "xla", "pallas"),
+    )
+    if b in ("fused", "xla", "pallas"):
+        return b
+    return "fused" if jax.default_backend() == "tpu" else "xla"
 
 
 def _gather_chunk_patches(chunk, stacks, ss_statics, d_statics):
@@ -334,10 +353,7 @@ def describe_batched(
     with many frames and very sparse detections.
     """
     B, M = kps.x.shape
-    backend = os.environ.get("AKAZE_DESCRIBE")
-    if backend is None:
-        backend = "fused" if jax.default_backend() == "tpu" else "xla"
-    if backend == "fused" and M % 64 == 0:
+    if _describe_backend(d_statics.config) == "fused" and M % 64 == 0:
         # Fused chunk-batched Pallas kernel: patch gather + sampling +
         # packing in one kernel (kernels/describe_fused) — default on TPU
         # (measured 21.6 -> 19.4 ms/batch16 on v5e vs the chunked XLA path;
@@ -369,7 +385,13 @@ def describe_batched(
     # Liveness coarsens to the group (chunk j runs if ANY grouped frame has
     # >j*C detections) — dead-chunk skipping still works per group since
     # validity is a per-frame prefix.
-    G = max(1, min(int(os.environ.get("AKAZE_DESCRIBE_GROUP", "8")), B))
+    from akaze_tpu.core.config import _env_override
+
+    G = _env_override("AKAZE_DESCRIBE_GROUP", d_statics.config.describe_group,
+                      cast=int)
+    # Cap G so the live one-hot/patch working set stays bounded at
+    # group*chunk keypoints (G*C > ~4096 risks VMEM/HBM pressure at VGA).
+    G = max(1, min(G, B, max(1, 4096 // C)))
     while B % G:
         G -= 1
 
@@ -387,7 +409,7 @@ def describe_batched(
         "valid": prep(kps.valid),
         "frame": prep(frame_ids),
     }
-    use_pallas_patches = _patch_backend() == "pallas"
+    use_pallas_patches = _patch_backend(d_statics.config) == "pallas"
     # The Pallas gather reads Lt/Lx/Ly directly, so the (F, 3, L, H0, W0)
     # channel concat the XLA slice path needs is never materialized in HBM.
     if use_pallas_patches:
@@ -410,7 +432,9 @@ def describe_batched(
             chunk, stacks3, ss_statics, d_statics, patches=patches
         )
 
-    if os.environ.get("AKAZE_DESCRIBE_LOOP") == "while":
+    loop = _env_override("AKAZE_DESCRIBE_LOOP", d_statics.config.describe_loop,
+                         allowed=("map", "while", "unroll"))
+    if loop == "while":
         # Dynamic-trip-count loop over LIVE chunks only: the lax.map below
         # pays the ~40us while/cond dispatch on every one of the B*nc steps
         # even when the cond's dead branch runs; here dead chunks cost
@@ -460,7 +484,7 @@ def describe_batched(
 
             return jax.lax.cond(jnp.any(chunk["valid"]), live, dead, None)
 
-        if os.environ.get("AKAZE_DESCRIBE_LOOP") == "unroll":
+        if loop == "unroll":
             # Statically unrolled chunk loop: same per-chunk cond graphs,
             # no lax.map while shell (measured ~2.7 ms/batch16 of pure
             # dispatch overhead at 8 steps on v5e).
@@ -530,7 +554,7 @@ def describe(
         "class_id": prep(kps.class_id),
         "valid": prep(kps.valid),
     }
-    use_pallas_patches = _patch_backend() == "pallas"
+    use_pallas_patches = _patch_backend(d_statics.config) == "pallas"
     stacks3 = (
         None
         if use_pallas_patches

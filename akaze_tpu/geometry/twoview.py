@@ -4,9 +4,13 @@ The reference stops at descriptor matching; `[SPEC]` (SURVEY.md §3.4, §7.2
 step 3) extends the rebuild with essential-matrix pose.  TPU-first design
 (SURVEY.md §7.3 "On-device RANSAC"): a FIXED number of hypotheses evaluated
 as one batched program — sample 8-tuples with `jax.random`, solve all
-hypotheses with a batched SVD, score every hypothesis against every
+hypotheses in pure vectorized jnp (det-minor nullspace + Jacobi essential
+projection; LAPACK-style custom calls execute per matrix on TPU and
+dominated the dispatch), score every hypothesis against every
 correspondence with masked Sampson errors, `argmax` inlier count.  No early
 exit, no dynamic shapes; invalid match slots simply carry zero weight.
+Round-3 rework: 107 -> 30 ms per 8-pair dispatch (key-sweep accuracy
+identical to the SVD formulation it replaced).
 """
 
 from __future__ import annotations
@@ -41,16 +45,104 @@ def normalize_points(x: jax.Array, y: jax.Array, intrinsics) -> jax.Array:
     return jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
 
 
+def _det8(m: jax.Array) -> jax.Array:
+    """Batched determinant of (..., 8, 8) via Gaussian elimination with
+    partial pivoting — pure jnp (no LAPACK custom call: on TPU the batched
+    SVD/LU custom calls execute per-matrix and dominated the whole RANSAC
+    dispatch; measured 76 of 82 ms/rep round 3)."""
+    n = m.shape[-1]
+    det = jnp.ones(m.shape[:-2], m.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, m.shape[:-1], len(m.shape) - 2)
+    for k in range(n):
+        col = jnp.abs(m[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)  # rows above k are settled
+        p = jnp.argmax(col, axis=-1)  # (...,) pivot row
+        # Swap rows k and p (batched, via selection masks).
+        is_k = rows == k
+        is_p = rows == p[..., None]
+        row_k = jnp.sum(jnp.where(is_k[..., None], m, 0.0), axis=-2)
+        row_p = jnp.sum(jnp.where(is_p[..., None], m, 0.0), axis=-2)
+        m = jnp.where(is_k[..., None], row_p[..., None, :], m)
+        m = jnp.where(is_p[..., None] & jnp.logical_not(is_k[..., None]),
+                      row_k[..., None, :], m)
+        det = jnp.where(p == k, det, -det)
+        pivot = m[..., k, k]
+        det = det * pivot
+        # Eliminate below the pivot (masked full-matrix rank-1 update).
+        safe = jnp.where(pivot == 0, 1.0, pivot)
+        f = jnp.where(rows > k, m[..., :, k] / safe[..., None], 0.0)
+        m = m - f[..., :, None] * m[..., k : k + 1, :]
+    return det
+
+
+def _nullspace_9(a: jax.Array) -> jax.Array:
+    """Right null vector of a batched (..., 8, 9) full-rank system via the
+    generalized cross product: x_i = (-1)^i det(a with column i dropped).
+    Exact up to f32 elimination error; rank-deficient inputs yield ~0
+    vectors (their hypotheses simply score no inliers)."""
+    comps = []
+    cols = list(range(9))
+    for i in range(9):
+        idx = jnp.asarray([c for c in cols if c != i])
+        comps.append(((-1.0) ** i) * _det8(a[..., :, idx]))
+    x = jnp.stack(comps, axis=-1)  # (..., 9)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+
+
+def _enforce_essential(e: jax.Array, sweeps: int = 4) -> jax.Array:
+    """Project batched (..., 3, 3) matrices onto the essential manifold
+    (singular values -> (1, 1, 0)) with a one-sided Jacobi SVD in pure jnp.
+
+    Scoring with UNenforced nullspace hypotheses measurably degrades the
+    recovered pose (key-sweep medians ~2x worse on the calibrated
+    benchmark), and the batched (H, 3, 3) SVD custom call costs ~14 ms per
+    8-pair dispatch on TPU (custom calls execute per matrix).  One-sided
+    Jacobi orthogonalizes columns in a few cyclic sweeps: A G1 G2 ... =
+    U diag(s); applying the same rotations to an identity accumulates V.
+    The projection is sum of u_i v_i^T over the two largest singular
+    values."""
+    a = e
+    v = jnp.broadcast_to(jnp.eye(3, dtype=e.dtype), e.shape)
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            ap = a[..., :, p]
+            aq = a[..., :, q]
+            app = jnp.sum(ap * ap, axis=-1)
+            aqq = jnp.sum(aq * aq, axis=-1)
+            apq = jnp.sum(ap * aq, axis=-1)
+            tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(apq == 0, 0.0, t)
+            c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
+            s = c * t[..., None]
+            new_p = c * ap - s * aq
+            new_q = s * ap + c * aq
+            a = a.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
+            vp = v[..., :, p]
+            vq = v[..., :, q]
+            new_vp = c * vp - s * vq
+            new_vq = s * vp + c * vq
+            v = v.at[..., :, p].set(new_vp).at[..., :, q].set(new_vq)
+    norms = jnp.linalg.norm(a, axis=-2)  # (..., 3) singular values
+    # keep[i] = 1 for the two largest singular values (index tie-break).
+    n_i = norms[..., :, None]
+    n_j = norms[..., None, :]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, norms.shape + (3,), norms.ndim - 1)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, norms.shape + (3,), norms.ndim)
+    rank = jnp.sum((n_j > n_i) | ((n_j == n_i) & (j_idx < i_idx)), axis=-1)
+    keep = (rank <= 1).astype(e.dtype)  # (..., 3)
+    u = a / jnp.maximum(norms[..., None, :], 1e-30)
+    return jnp.einsum("...ik,...k,...jk->...ij", u, keep, v)
+
+
 def _essential_from_8pt(x1: jax.Array, x2: jax.Array) -> jax.Array:
     """Batched 8-point solve: x1, x2 (H, 8, 3) -> E (H, 3, 3) with the
-    essential constraint (singular values 1, 1, 0) enforced."""
+    essential constraint enforced.  Pure jnp throughout (det-minor
+    nullspace + Jacobi projection): the original batched SVD custom calls
+    executed per matrix on TPU and were 76 of the 82 ms RANSAC dispatch."""
     a = jnp.einsum("hni,hnj->hnij", x2, x1).reshape(*x1.shape[:-2], 8, 9)
-    # Nullspace via smallest right singular vector.
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    e = vt[..., -1, :].reshape(*x1.shape[:-2], 3, 3)
-    u, _, vt = jnp.linalg.svd(e)
-    s = jnp.asarray([1.0, 1.0, 0.0], e.dtype)
-    return u @ (s[..., :, None] * vt)
+    e = _nullspace_9(a).reshape(*x1.shape[:-2], 3, 3)
+    return _enforce_essential(e)
 
 
 def _sampson_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
@@ -105,21 +197,32 @@ def _estimate_relative_pose_f32(
     inl_h = (_sampson_sq(E_h, x1, x2) < thr2) & mask[None, :]  # (H, N)
     scores = jnp.sum(inl_h, axis=-1)
     best = jnp.argmax(scores)
+    # (An MSAC objective — truncated residual sum — was tried here round 3
+    # and measured WORSE key-sweep scatter on the calibrated benchmark
+    # (seed-7 t-dir max 5.1 -> 78 deg): with ~100 noisy matches the tighter
+    # residual sum favors small over-fit consensus sets.  Keep counts.)
 
     # --- guarded iterated refit (LO-RANSAC style) ---
-    # Least-squares E on the running inlier set via DIRECT SVD of the
-    # weighted design matrix (the round-1 normal-equation eigh squared the
-    # condition number and could collapse a 90%-inlier consensus in f32).
-    # Each round is accepted only if it grows the inlier count — on
-    # near-degenerate structure (few planes) an unguarded refit can drift
-    # onto a spurious nullspace direction even in f64.
+    # Least-squares E on the running inlier set via QR of the weighted
+    # design matrix + SVD of its 9x9 R factor — backward-stable like the
+    # round-2 direct (N, 9) SVD (R shares A's right singular vectors; no
+    # Gram squaring like the rejected round-1 eigh) at a fraction of the
+    # custom-call cost.  Each round is accepted only if it grows the inlier
+    # count — on near-degenerate structure (few planes) an unguarded refit
+    # can drift onto a spurious nullspace direction even in f64.
     a = jnp.einsum("ni,nj->nij", x2, x1).reshape(n, 9)
     s_ess = jnp.asarray([1.0, 1.0, 0.0], E_h.dtype)
 
     def refit_round(carry, _):
         E, inliers, count = carry
         w = inliers.astype(jnp.float32)
-        _, _, vt = jnp.linalg.svd(a * w[:, None], full_matrices=True)
+        # Smallest right singular vector of the weighted design matrix via
+        # QR -> 9x9 SVD: same backward-stable answer as the direct (N, 9)
+        # SVD (R shares A's right singular vectors; no Gram squaring like
+        # the rejected round-1 eigh), but the expensive custom call shrinks
+        # from an N x 9 SVD to one (N, 9) QR plus a 9x9 SVD.
+        r = jnp.linalg.qr(a * w[:, None], mode="r")
+        _, _, vt = jnp.linalg.svd(r, full_matrices=True)
         e = vt[-1].reshape(3, 3)
         u_, _, vt2 = jnp.linalg.svd(e)
         E_new = u_ @ (s_ess[:, None] * vt2)

@@ -337,7 +337,15 @@ def base_stage_batched(imgs: jax.Array, sigma0: float):
 # pairing the default split measures Hamming mean ~1.0 on VGA, and the
 # all-XLA path (split 0) measures 22.3: the Mosaic octaves are the FAITHFUL
 # ones (BASELINE.md round-3 attribution table; tools/parity_spot.py).
-_PALLAS_OCTAVES = int(os.environ.get("AKAZE_PALLAS_OCTAVES", "3"))
+def _pallas_octaves(config) -> int:
+    """Mosaic/XLA octave split.  Source of truth: config.pallas_octaves
+    (round 3: folded from the env var so identical configs give identical
+    graphs); AKAZE_PALLAS_OCTAVES stays as a trace-time A/B override."""
+    from akaze_tpu.core.config import _env_override
+
+    return _env_override(
+        "AKAZE_PALLAS_OCTAVES", config.pallas_octaves, cast=int
+    )
 
 _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
@@ -419,7 +427,7 @@ def build_scale_space_pallas_batched(
     The batch rides the pallas grid natively (one program per frame) rather
     than jax.vmap — this environment's remote Mosaic compiler rejects the
     vmap-generated variant at B >= 8.  Levels are grouped per OCTAVE into
-    one kernel each, and only the first `_PALLAS_OCTAVES` octaves use the
+    one kernel each, and only the first `config.pallas_octaves` octaves use the
     Mosaic kernel (deep octaves are issue-bound there — see the constant).
 
     with_detect=True additionally returns the fused detect products
@@ -433,7 +441,8 @@ def build_scale_space_pallas_batched(
 
     config = statics.config
     specs = statics.specs
-    if _PALLAS_OCTAVES > 0:
+    pallas_octaves = _pallas_octaves(config)
+    if pallas_octaves > 0:
         # Fused base stage: one Mosaic program per frame produces the seed
         # and the contrast-gradient plane in a single HBM pass.
         seed, modg = base_stage_batched(
@@ -454,7 +463,7 @@ def build_scale_space_pallas_batched(
         if oi > 0:
             seed = half_size(lts[-1])
             k = k * config.contrast_octave_decay
-        if oi < _PALLAS_OCTAVES:
+        if oi < pallas_octaves:
             # One frame per program.  Batching frames per program (f > 1) to
             # amortize per-op cost was tried for the deep octaves and
             # abandoned: Mosaic compile time explodes on the narrow

@@ -42,14 +42,16 @@ def hamming_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(xor), axis=-1).astype(jnp.int32)
 
 
-def _match_backend() -> str:
+def _match_backend(config: MatchConfig) -> str:
     """Matcher backend: "pallas" = one-pass VMEM-resident reduction kernel
     (kernels/match_pallas, identical outputs, skips the HBM distance-cube
-    round trips); "xla" = the dense formulation below.  Override with
-    AKAZE_MATCH=pallas|xla (read at trace time)."""
-    env = os.environ.get("AKAZE_MATCH")
-    if env in ("pallas", "xla"):
-        return env
+    round trips); "xla" = the dense formulation below.  Source of truth is
+    config.backend; AKAZE_MATCH=pallas|xla is a trace-time A/B override."""
+    from akaze_tpu.core.config import _env_override
+
+    b = _env_override("AKAZE_MATCH", config.backend, allowed=("pallas", "xla"))
+    if b in ("pallas", "xla"):
+        return b
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -61,7 +63,7 @@ def match_fn(
     config: MatchConfig,
 ) -> Matches:
     """Traceable matcher core (golden.matching semantics, fixed shapes)."""
-    if _match_backend() == "pallas":
+    if _match_backend(config) == "pallas":
         from akaze_tpu.kernels.match_pallas import match_reduce
 
         best, second, nn_b, _, nn_a = match_reduce(

@@ -5,8 +5,12 @@ distributed runtime once per process, after which `jax.devices()` spans the
 pod and the data/spatial meshes in parallel.mesh work unchanged (PJRT runs
 the DCN coordination; collectives ride ICI within a slice).
 
-This module is exercised single-host in CI (initialize() is a no-op there);
-on a real pod slice set the coordinator env vars or pass them explicitly.
+Exercised for real in CI by tests/test_multiprocess.py: two
+coordinator-connected CPU processes (4 virtual devices each, cross-process
+collectives over Gloo) run the sharded BA on the 8-device global mesh, one
+is SIGKILLed mid-run, and a respawned survivor re-initializes the runtime
+and finishes from the checkpoint.  Single-host runs without coordinator
+env vars take the no-op branch.
 """
 
 from __future__ import annotations

@@ -10,9 +10,11 @@ BASELINE.md config 5) TPU-first:
   * Per-observation 2x9 Jacobians via vmapped jacfwd; camera blocks reduce
     with segment_sum, the point blocks stay dense (P, 3, 3).
   * Schur complement onto the pose system: S = U' - sum_p Y_p W_p^T built
-    with einsum + scatter-add, solved dense (6K x 6K) — K is keyframes
-    (<= 64 by config), so the reduced system is tiny; the heavy lifting is
-    the per-point work, which is what shards.
+    with einsum + one segment-sum over (cam_i, cam_j) block ids; solved
+    dense (6K x 6K) up to K = 64 and by block-Jacobi-preconditioned CG
+    past that (round 3 — the dense LU custom call and the old 2-D
+    scatter-add were the K/P scaling walls).  The heavy lifting is the
+    per-point work, which is what shards.
   * Distributed BA (SURVEY.md §5 long-context row): shard POINTS over the
     `data` mesh axis with shard_map; each shard computes partial (S, rhs)
     and `jax.lax.psum` reduces them over ICI — the Schur-complement
@@ -132,12 +134,16 @@ def _schur_system(problem: BAProblem, lam: jax.Array, config: SfmConfig, axis_na
     vinv = jnp.linalg.inv(v_d + 1e-9 * jnp.eye(3))  # (P,3,3)
     y = jnp.einsum("pqij,pjk->pqik", w_blk, vinv)  # (P,Q,6,3)
 
-    # Schur cross terms scattered into the dense pose system.
+    # Schur cross terms reduced into the dense pose system via ONE
+    # segment-sum over flattened (cam_i, cam_j) block ids (round 3: the
+    # previous 2-D scatter-add materialized a (P*Q^2, 6, 6) index update
+    # that fell off a cliff past a few thousand points).
     contrib = jnp.einsum("paik,pbjk->pabij", y, w_blk)  # (P,Q,Q,6,6)
-    s = jnp.zeros((K, K, 6, 6))
     c1 = jnp.broadcast_to(problem.obs_cam[:, :, None], (P, Q, Q)).reshape(-1)
     c2 = jnp.broadcast_to(problem.obs_cam[:, None, :], (P, Q, Q)).reshape(-1)
-    s = s.at[c1, c2].add(-contrib.reshape(-1, 6, 6))
+    s = -jax.ops.segment_sum(
+        contrib.reshape(-1, 6, 6), c1 * K + c2, num_segments=K * K
+    ).reshape(K, K, 6, 6)
     s = s.at[jnp.arange(K), jnp.arange(K)].add(u)
 
     y_gp = jnp.einsum("pqik,pk->pqi", y, g_p).reshape(-1, 6)
@@ -167,11 +173,57 @@ def _schur_system(problem: BAProblem, lam: jax.Array, config: SfmConfig, axis_na
     return s, rhs, vinv, w_blk, g_p
 
 
+def _solve_pose_system(s, rhs, iters: int = 120):
+    """Block-Jacobi-preconditioned conjugate gradients on the reduced pose
+    system (round-3 verdict item 5: the dense 6Kx6K jnp.linalg.solve is a
+    serial LU custom call — fine at K <= 64, a wall past it; CG runs as
+    (K, K, 6, 6) x (K, 6) einsum matvecs on the MXU).  S is symmetric
+    positive definite by construction (damped Schur complement of an SPD
+    system with identity rows on gauge-fixed poses)."""
+    K = rhs.shape[0]
+    minv = jnp.linalg.inv(
+        s[jnp.arange(K), jnp.arange(K)] + 1e-12 * jnp.eye(6)
+    )  # (K,6,6) block-Jacobi preconditioner
+
+    def matvec(x):
+        return jnp.einsum("kmij,mj->ki", s, x)
+
+    def precond(x):
+        return jnp.einsum("kij,kj->ki", minv, x)
+
+    x = jnp.zeros_like(rhs)
+    r = rhs  # b - A @ 0
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(state, _):
+        x, r, p, rz = state
+        ap = matvec(p)
+        denom = jnp.sum(p * ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        alpha = jnp.where(denom == 0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        beta = jnp.where(rz == 0, 0.0, beta)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
 def _apply_update(problem: BAProblem, s, rhs, vinv, w_blk, g_p):
     """Solve the reduced system and back-substitute point updates."""
     K = problem.poses.shape[0]
-    s_mat = s.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    dc = jnp.linalg.solve(s_mat, rhs.reshape(-1)).reshape(K, 6)
+    if K <= 64:
+        s_mat = s.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        dc = jnp.linalg.solve(s_mat, rhs.reshape(-1)).reshape(K, 6)
+    else:
+        dc = _solve_pose_system(s, rhs)
     dc_o = dc[problem.obs_cam]  # (P,Q,6)
     wt_dc = jnp.einsum("pqij,pqi->pj", w_blk, dc_o)  # (P,3)
     dp = -jnp.einsum("pij,pj->pi", vinv, g_p + wt_dc)

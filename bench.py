@@ -119,8 +119,14 @@ def bench_two_view() -> None:
     rcfg = RansacConfig(num_iterations=256)
     # Throughput is measured batched (TPU-first, like the headline): P pairs
     # = 2P frames extracted in one dispatch, match + RANSAC vmapped per pair.
+    # DISTINCT pre-uploaded frame sets per rep + a scalar host transfer per
+    # rep: with one reused input the round-3 pure-jnp RANSAC measured an
+    # impossible 77k pairs/s (tunnel result reuse) — see BASELINE.md.
     P = 8
-    frames = jnp.asarray(video_sequence(2 * P, 480, 640, seed=1))
+    frame_sets = [
+        jnp.asarray(video_sequence(2 * P, 480, 640, seed=s)) for s in (1, 2, 3)
+    ]
+    jax.block_until_ready(frame_sets)
     intr = (640.0, 640.0, 320.0, 240.0)
     keys = jax.random.split(jax.random.PRNGKey(0), P)
 
@@ -145,12 +151,11 @@ def bench_two_view() -> None:
         )
         return pose.num_inliers
 
-    jax.block_until_ready(step(frames))
-    reps = 5
+    jax.block_until_ready(step(frame_sets[0]))
+    reps = 6
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(frames)
-    jax.block_until_ready(out)
+    outs = [step(frame_sets[r % len(frame_sets)]) for r in range(reps)]
+    jax.block_until_ready(outs)
     pps = P * reps / (time.perf_counter() - t0)
     _emit("two_view_pose_pairs_per_s", pps, "pairs/s")
 
@@ -205,7 +210,12 @@ def bench_conductivity() -> None:
     from akaze_tpu.frontend.pipeline import extract_batch_fn
     from akaze_tpu.utils.synthetic import video_sequence
 
-    batch = 64  # headline-identical batching so the ratio isolates the variant
+    # Batch 16, not the headline's 64: the remote Mosaic/XLA compile service
+    # deterministically ABORTS on the g1-variant pipeline with the fused
+    # describe kernel at batch 64 (g2@64 and g1@16 both compile and run;
+    # reproduced 3x on 2026-08-19).  Batch 16 costs ~4% fps vs 64 on the
+    # headline, so variant ratios remain comparable.
+    batch = 16
     frames = jnp.asarray(video_sequence(batch, 480, 640, seed=0))
     for diff in (Diffusivity.PM_G1, Diffusivity.WEICKERT):
         config = AkazeConfig(diffusivity=diff)
@@ -250,25 +260,44 @@ def bench_video(num_frames: int = 500) -> None:
           num_frames / dt / baseline_fps())
 
 
-def bench_sfm(num_keyframes: int = 50) -> None:
-    """Config 5: mini incremental SfM, 50 keyframes, periodic BA."""
+def bench_sfm(num_keyframes: int = 50, num_points: int = 600) -> None:
+    """Config 5: incremental SfM with periodic BA.
+
+    50 kf / 600 pts is the BASELINE.json config; 200 kf / 5000 pts is the
+    round-3 scale config (the dense 6Kx6K solve hands off to block-Jacobi
+    CG past K = 64, and the Schur cross terms assemble via segment-sum)."""
     from akaze_tpu.core.config import RansacConfig, SfmConfig
     from akaze_tpu.sfm.incremental import run_incremental
     from akaze_tpu.sfm.metrics import ate_rmse, camera_centers
     from akaze_tpu.sfm.rotations import rotvec_to_matrix
 
     rng = np.random.default_rng(0)
-    pts = rng.uniform([-4, -3, 8], [4, 3, 20], (600, 3))
     poses = np.zeros((num_keyframes, 6), np.float32)
     for k in range(num_keyframes):
-        poses[k, :3] = [0.0, 0.02 * k, 0.0]
-        poses[k, 3:] = [-0.15 * k, 0.005 * k, 0.02 * k]
+        poses[k, :3] = [0.0, (0.02 if num_keyframes <= 50 else 0.003) * k, 0.0]
+        poses[k, 3:] = [-0.15 * k, 0.005 * np.sin(0.1 * k), 0.02]
+    rots = [np.asarray(rotvec_to_matrix(jnp.asarray(poses[k, :3])))
+            for k in range(num_keyframes)]
+    if num_keyframes <= 50:
+        pts = rng.uniform([-4, -3, 8], [4, 3, 20], (num_points, 3))
+    else:
+        # Long trajectory: distribute points along the path (a fixed box
+        # leaves late cameras with nothing to see).
+        anchors = rng.integers(0, num_keyframes, num_points)
+        local = np.stack([
+            rng.uniform(-2, 2, num_points),
+            rng.uniform(-1.5, 1.5, num_points),
+            rng.uniform(6, 14, num_points),
+        ], axis=1)
+        pts = np.stack([
+            rots[a].T @ (local[p] - poses[a, 3:])
+            for p, a in enumerate(anchors)
+        ])
     observations = []
     for p in range(len(pts)):
         tr = {}
         for k in range(num_keyframes):
-            r = np.asarray(rotvec_to_matrix(jnp.asarray(poses[k, :3])))
-            xc = r @ pts[p] + poses[k, 3:]
+            xc = rots[k] @ pts[p] + poses[k, 3:]
             if xc[2] > 0.1:
                 uv = xc[:2] / xc[2]
                 if np.abs(uv).max() < 0.6:
@@ -284,8 +313,9 @@ def bench_sfm(num_keyframes: int = 50) -> None:
     res = run_incremental(observations, num_keyframes, scfg, rcfg, ba_every=8)
     dt = time.perf_counter() - t0
     ate = ate_rmse(camera_centers(res.poses), camera_centers(poses))
-    _emit("sfm_50kf_keyframes_per_s", num_keyframes / dt, "keyframes/s")
-    _emit("sfm_50kf_ate", ate, "scene_units")
+    tag = f"sfm_{num_keyframes}kf"
+    _emit(f"{tag}_keyframes_per_s", num_keyframes / dt, "keyframes/s")
+    _emit(f"{tag}_ate", ate, "scene_units")
 
 
 def main() -> None:
@@ -300,6 +330,7 @@ def main() -> None:
         bench_conductivity()
         bench_video()
         bench_sfm()
+        bench_sfm(num_keyframes=200, num_points=5000)
 
 
 if __name__ == "__main__":

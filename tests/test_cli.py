@@ -75,6 +75,46 @@ def test_cli_sequence(tmp_path):
         assert z["descriptors"].shape[0] == 6
 
 
+def test_cli_pgm_end_to_end(tmp_path):
+    """Round-trip the IMAGE-FILE path (round-3 verdict item 10): write a
+    synthetic pair as binary PGM, run extract -> match --pose --viz on the
+    files, and check the PGM route produces features identical to the same
+    uint8 pixels fed through the .npy route."""
+    img8 = (textured_scene(120, 160, seed=3) * 255).astype(np.uint8)
+    H = np.array([[1.0, 0.01, 3.0], [-0.01, 1.0, -2.0], [0, 0, 1.0]])
+    warped8 = (
+        warp_homography(img8.astype(np.float32) / 255.0, H) * 255
+    ).astype(np.uint8)
+    paths = {}
+    for name, arr in (("a", img8), ("b", warped8)):
+        pgm = tmp_path / f"{name}.pgm"
+        header = f"P5\n{arr.shape[1]} {arr.shape[0]}\n255\n".encode()
+        pgm.write_bytes(header + arr.tobytes())
+        npy = tmp_path / f"{name}.npy"
+        np.save(npy, arr)  # uint8 array: CLI normalizes both routes
+        paths[name] = (pgm, npy)
+
+    out_pgm = tmp_path / "f_pgm.npz"
+    out_npy = tmp_path / "f_npy.npz"
+    assert cli_extract.main([str(paths["a"][0]), str(out_pgm), *_FAST]) == 0
+    assert cli_extract.main([str(paths["a"][1]), str(out_npy), *_FAST]) == 0
+    fp = load_features(out_pgm)
+    fn = load_features(out_npy)
+    assert fp["descriptors"].shape[0] > 20
+    assert np.array_equal(fp["descriptors"], fn["descriptors"])
+    np.testing.assert_array_equal(fp["x"], fn["x"])
+
+    out = tmp_path / "m.json"
+    viz = tmp_path / "viz.pgm"
+    assert cli_match.main(
+        [str(paths["a"][0]), str(paths["b"][0]), "--pose", "-o", str(out),
+         "--viz", str(viz), *_FAST]
+    ) == 0
+    m = json.loads(out.read_text())
+    assert m["num_matches"] > 5
+    assert load_gray(viz).shape == (120, 320)
+
+
 def test_cli_pgm_loader(tmp_path):
     img = (textured_scene(24, 32, seed=1) * 255).astype(np.uint8)
     p = tmp_path / "img.pgm"
