@@ -78,10 +78,11 @@ class AkazeConfig:
     # configs always produce identical graphs; the AKAZE_* env vars remain
     # as trace-time OVERRIDES for A/B tooling only — see _env_override). ----
     # Octaves 0..N-1 run the fused Mosaic kernel chain; deeper octaves run
-    # XLA convs.  3 measured best at the round-2 close operating point
-    # (kernels/fed_pallas.py); also the parity-faithful side (BASELINE.md
-    # round-3 attribution: the all-XLA path drifts ~22 bits vs golden).
-    pallas_octaves: int = 3
+    # XLA convs.  Round 3: 4 (all Mosaic) + deep_octave_frames=8 measured
+    # 19.5 -> 18.6 ms/batch16 over the round-2 split of 3, and the Mosaic
+    # chain is the parity-faithful side (the all-XLA path drifts ~22
+    # Hamming bits vs golden — BASELINE.md attribution table).
+    pallas_octaves: int = 4
     # Patch fetch: "pallas" pipelined DMA gather / "xla" vmapped
     # dynamic_slice / "auto" = pallas on TPU.
     patch_backend: str = "auto"
@@ -96,6 +97,11 @@ class AkazeConfig:
     # XLA-describe chunk loop: "map" (lax.map), "while" (live-chunks-only
     # dynamic loop), "unroll" (static; measured a wash round 3).
     describe_loop: str = "map"
+    # Frames per Mosaic program for octaves >= 2 (deep octaves are per-op-
+    # issue-bound: an 80x60 level costs nearly as much per program as
+    # 640x480).  8 measured best round 3 (f=4 slightly worse, f=16 explodes
+    # Mosaic compile time — round-2 negative).
+    deep_octave_frames: int = 8
 
     @property
     def num_levels(self) -> int:

@@ -373,6 +373,23 @@ def describe_batched(
             keypoints=kps,
             descriptors=jnp.where(kps.valid[..., None], descs, 0),
         )
+    if "lvl_oct" in stacks:
+        # Non-fused backends want one padded level stack; reconstruct it
+        # from the per-octave zero-copy stacks (debug/A-B path only — the
+        # default TPU pipeline takes the fused branch above).
+        from akaze_tpu.frontend.scale_space import stack_levels
+
+        def restack(key):
+            levels = []
+            for d in stacks["lvl_oct"]:
+                for i in range(d[key].shape[0]):
+                    levels.append(d[key][i])
+            return stack_levels(levels, ss_statics.specs, level_major=True)
+
+        stacks = {
+            "Lt": restack("Lt"), "Lx": restack("Lx"), "Ly": restack("Ly"),
+            "level_major": True,
+        }
     C = min(d_statics.chunk, M)
     nc = (M + C - 1) // C
     pad = nc * C - M

@@ -118,6 +118,42 @@ def find_candidates_batched(scores: jax.Array, statics: ScaleSpaceStatics):
     }
 
 
+def find_candidates_oct(oct_products, statics: ScaleSpaceStatics):
+    """Candidate selection from PER-OCTAVE score arrays (round 3): each
+    entry of `oct_products` carries "score" as a LEVEL-MAJOR (n, B, h, w)
+    stack at native octave resolution — no padded (B, L, H0, W0) stack is
+    ever materialized (measured ~0.4 ms/batch16 of pure HBM writes per
+    padded stack).  Candidate semantics match find_candidates_batched."""
+    from akaze_tpu.kernels.fed_pallas import octave_groups
+
+    cfg = statics.config
+    K = cfg.per_level_candidates
+    w0 = statics.w0
+    resp_g, yi_g, xi_g = [], [], []
+    for (l0, n, h, w), prod in zip(octave_groups(statics), oct_products):
+        score = prod["score"]  # level-major (n, B, h, w)
+        B = score.shape[1]
+        flat = score.reshape(n * B, h * w)
+        k = min(K, h * w)
+        resp, idx = jax.lax.approx_max_k(flat, k, recall_target=cfg.candidate_recall)
+        if k < K:
+            resp = jnp.pad(resp, ((0, 0), (0, K - k)), constant_values=_NEG)
+            idx = jnp.pad(idx, ((0, 0), (0, K - k)))
+        resp_g.append(jnp.swapaxes(resp.reshape(n, B, K), 0, 1))
+        yi_g.append(jnp.swapaxes((idx // w).reshape(n, B, K), 0, 1))
+        xi_g.append(jnp.swapaxes((idx % w).reshape(n, B, K), 0, 1))
+    resp = jnp.concatenate(resp_g, axis=1)
+    yi = jnp.concatenate(yi_g, axis=1)
+    xi = jnp.concatenate(xi_g, axis=1)
+    return {
+        "resp": resp,
+        "yi": yi,
+        "xi": xi,
+        "flat": yi * w0 + xi,  # padded-plane index (tie-break key only)
+        "valid": resp > _NEG,
+    }
+
+
 def cross_level_nms(cand: dict, statics: ScaleSpaceStatics) -> jax.Array:
     """Symmetric NMS over same + adjacent levels; returns surviving mask (L, K)."""
     L = statics.num_levels
@@ -187,6 +223,34 @@ def subpixel_from_fields(lvl, xi, yi, ox_field: jax.Array,
     return xf, yf, keep
 
 
+def subpixel_from_fields_oct(lvl, xi, yi, oct_products,
+                             statics: ScaleSpaceStatics):
+    """subpixel_from_fields over PER-OCTAVE (n, h, w) offset fields (one
+    frame): one gather per octave + masked select — same values as the
+    padded-stack gather without ever building the stack."""
+    from akaze_tpu.kernels.fed_pallas import octave_groups
+
+    ox = jnp.zeros(lvl.shape, jnp.float32)
+    oy = jnp.zeros(lvl.shape, jnp.float32)
+    nan_seen = jnp.zeros(lvl.shape, bool)
+    for (l0, n, h, w), prod in zip(octave_groups(statics), oct_products):
+        sel = (lvl >= l0) & (lvl < l0 + n)
+        li = jnp.clip(lvl - l0, 0, n - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        o_x = prod["ox"][li, yc, xc]
+        o_y = prod["oy"][li, yc, xc]
+        isnan = jnp.isnan(o_x)
+        ox = jnp.where(sel & ~isnan, o_x, ox)
+        oy = jnp.where(sel & ~isnan, o_y, oy)
+        nan_seen = nan_seen | (sel & isnan)
+    keep = jnp.logical_not(nan_seen)
+    ratios = jnp.asarray(statics.ratios)[lvl]
+    xf = (xi.astype(jnp.float32) + ox) * ratios
+    yf = (yi.astype(jnp.float32) + oy) * ratios
+    return xf, yf, keep
+
+
 def subpixel_refine(lvl, y, x, ldet: jax.Array, statics: ScaleSpaceStatics):
     """2-var quadratic fit on Ldet for the SELECTED keypoints (lvl/y/x all
     (M,)); reject |offset| > 1 (SURVEY.md §2 C9).  Runs after top-M
@@ -215,13 +279,16 @@ def subpixel_refine(lvl, y, x, ldet: jax.Array, statics: ScaleSpaceStatics):
 
 def detect(
     ldet: jax.Array, statics: ScaleSpaceStatics, scores=None, subpix=None,
-    cand=None,
+    cand=None, subpix_oct=None,
 ) -> Keypoints:
     """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA.
 
     scores/subpix: optional precomputed candidate scores and dense (ox, oy)
     sub-pixel fields from kernels/detect_pallas (the fused TPU path);
-    cand: optional precomputed candidate dict (find_candidates_batched)."""
+    cand: optional precomputed candidate dict (find_candidates_batched /
+    find_candidates_oct); subpix_oct: per-octave detect products from the
+    with_detect builder (ldet may be None when cand and a subpix source are
+    both given)."""
     cfg = statics.config
     if cand is None:
         cand = find_candidates(ldet, statics, scores)
@@ -251,7 +318,11 @@ def detect(
     # Sub-pixel refinement AFTER selection, on the M winners only — the
     # reference order (golden/akaze.py:238): rejected fits are discarded
     # without backfilling lower-response candidates into the freed slots.
-    if subpix is not None:
+    if subpix_oct is not None:
+        xf, yf, keep = subpixel_from_fields_oct(
+            class_id, xi, yi, subpix_oct, statics
+        )
+    elif subpix is not None:
         xf, yf, keep = subpixel_from_fields(
             class_id, xi, yi, subpix[0], subpix[1], statics
         )

@@ -46,31 +46,22 @@ def _as_unit_gray(img: jax.Array) -> jax.Array:
 
 
 def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
-    """Pure (traceable) single-image pipeline; shape/config must be static."""
+    """Pure (traceable) single-image pipeline; shape/config must be static.
+
+    On TPU this is the batched pipeline at B=1 (round 3): one code path —
+    per-octave zero-copy level stacks, fused describe kernel and all."""
+    if _use_pallas_scale_space():
+        feats = extract_batch_fn(img[None] if img.ndim == 2 else img, config)
+        return jax.tree.map(lambda a: a[0], feats)
     img = _as_unit_gray(img)
     height, width = img.shape[-2], img.shape[-1]
     ss_statics, d_statics = _statics(width, height, config)
     # named_scope: stage boundaries show up in jax.profiler traces
     # (SURVEY.md §5 tracing row).
     with jax.named_scope("akaze_scale_space"):
-        if _use_pallas_scale_space():
-            from akaze_tpu.kernels.fed_pallas import build_scale_space_pallas
-
-            # with_detect folds candidate scoring + dense sub-pixel fields
-            # into the scale-space build (XLA, per octave at native
-            # resolution) — no separate per-(frame, level) detect pass and
-            # no second read of the padded Ldet stack from HBM.
-            stacks = build_scale_space_pallas(img, ss_statics, with_detect=True)
-        else:
-            stacks = build_scale_space(img, ss_statics)
+        stacks = build_scale_space(img, ss_statics)
     with jax.named_scope("akaze_detect"):
-        if _use_pallas_scale_space():
-            kps = detect(
-                stacks["Ldet"], ss_statics, stacks["score"],
-                (stacks["ox"], stacks["oy"]),
-            )
-        else:
-            kps = detect(stacks["Ldet"], ss_statics)
+        kps = detect(stacks["Ldet"], ss_statics)
     with jax.named_scope("akaze_describe"):
         return describe(kps, stacks, ss_statics, d_statics)
 
@@ -97,17 +88,21 @@ def extract_batch_fn(imgs: jax.Array, config: AkazeConfig) -> Features:
             stacks = jax.vmap(lambda im: build_scale_space(im, ss_statics))(imgs)
     with jax.named_scope("akaze_detect"):
         if _use_pallas_scale_space():
-            # Candidate selection and NMS vmap over the precomputed dense
-            # fields (two flat gathers replace nine scattered Ldet reads per
-            # candidate — round-2 profile win).  Candidate top-K runs
-            # batched, per octave on tight slices (approx_max_k over the
-            # padded plane wasted 4x its work).
-            from akaze_tpu.frontend.detect import find_candidates_batched
+            # Candidate top-K per octave on native-resolution products, NMS
+            # + sub-pixel gathers vmapped per frame — no padded
+            # Ldet/score/ox/oy stacks anywhere (round 3).
+            from akaze_tpu.frontend.detect import find_candidates_oct
 
-            cand = find_candidates_batched(stacks["score"], ss_statics)
+            cand = find_candidates_oct(stacks["oct"], ss_statics)
+            # Detect products are level-major (n, B, h, w): the frame axis
+            # is 1 for them and 0 for the candidate dict.
+            oct_axes = jax.tree.map(lambda _: 1, stacks["oct"])
             kps = jax.vmap(
-                lambda ld, a, b, c: detect(ld, ss_statics, None, (a, b), c)
-            )(stacks["Ldet"], stacks["ox"], stacks["oy"], cand)
+                lambda oct_f, c: detect(
+                    None, ss_statics, cand=c, subpix_oct=oct_f
+                ),
+                in_axes=(oct_axes, 0),
+            )(stacks["oct"], cand)
         else:
             kps = jax.vmap(lambda ld: detect(ld, ss_statics))(stacks["Ldet"])
     with jax.named_scope("akaze_describe"):

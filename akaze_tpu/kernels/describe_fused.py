@@ -150,29 +150,15 @@ def _fused_kernel(
     # scalar prefetch
     nsub_ref,  # (NP,) i32: live sub-groups per program
     # blocked SMEM per-keypoint DMA scalars
-    ints_ref,  # (CB, 8) i32: idx0, idx1, y0a, x0a, dy, dx, valid, 0
+    ints_ref,  # (CB, 8) i32: grp, idx0, idx1, y0a, x0a, dy, dx, valid
     # blocked VMEM copies for batched vector math
     intv_ref,  # (CB, 8) i32 (same content as ints_ref)
     kpfv_ref,  # (CB, 8) f32: xf, yf, scale, xmax, ymax
-    # VMEM tables (constant index_map -> fetched once)
-    ori_di_ref, ori_dj_ref, ori_w_ref,  # (1, SO)
-    win_lo_ref, win_hi_ref, win_wrap_ref,  # (W, 1)
-    offk_ref, offl_ref,  # (1, S)
-    mean_mat_ref,  # (S, CP)
-    adiffT_ref,  # (CP, NB)
-    cselT_ref,  # (3, NB)
-    wlo_ref, whi_ref,  # (NB, NW)
-    # level stacks in ANY/HBM: (D0, D1, H0P, W0P) f32
-    c0_ref, c1_ref, c2_ref,
-    # outputs (blocked VMEM)
-    ang_out,  # (CB, 1) f32
-    desc_out,  # (CB, NWORDS) i32
-    # scratch
-    slots,  # (NSLOT, 3, PHA, PWA) f32: aligned fetches in flight
-    pscr,  # (U, 3, PH, PW) f32: recentered patches of the current sub-group
-    sems,  # DMA semaphores (NSLOT, 3)
-    *,
-    PH, PW, PHA, PWA, NWORDS, ABLATE,
+    # VMEM tables, then 3*G level-stack refs in ANY/HBM (one triple per
+    # octave group, each (n_g, B, Hp_g, Wp_g) — or one group for a padded
+    # (L, B, H0P, W0P) stack), then outputs and scratch — unpacked below.
+    *rest,
+    PH, PW, NWORDS, ABLATE, GDIMS,
 ):
     """Phase-batched body.  Per 8-keypoint sub-group:
 
@@ -188,33 +174,43 @@ def _fused_kernel(
     eight and chained serially between MXU calls.  Batching phases B/D
     across the sub-group is worth ~8x on that VPU work.
     """
+    G = len(GDIMS)
+    (ori_di_ref, ori_dj_ref, ori_w_ref, win_lo_ref, win_hi_ref, win_wrap_ref,
+     offk_ref, offl_ref, mean_mat_ref, adiffT_ref, cselT_ref, wlo_ref,
+     whi_ref) = rest[:13]
+    chans_hbm = rest[13 : 13 + 3 * G]  # grouped (lt, lx, ly) per octave
+    ang_out, desc_out = rest[13 + 3 * G : 15 + 3 * G]
+    slots, pscr, sems = rest[15 + 3 * G :]
+
     pid = pl.program_id(0)
     ns = nsub_ref[pid]
     ang_out[:] = jnp.zeros_like(ang_out)
     desc_out[:] = jnp.zeros_like(desc_out)
 
-    chans_hbm = (c0_ref, c1_ref, c2_ref)
     two_pi = jnp.float32(2.0 * math.pi)
 
-    def make_dma(slot, k, c):
+    def make_dma(g, slot, k, c):
         kc = jnp.minimum(k, CB - 1)
-        y0 = pl.multiple_of(ints_ref[kc, 2], 8)
-        x0 = pl.multiple_of(ints_ref[kc, 3], 128)
+        pha, pwa = GDIMS[g]
+        y0 = pl.multiple_of(ints_ref[kc, 3], 8)
+        x0 = pl.multiple_of(ints_ref[kc, 4], 128)
         return pltpu.make_async_copy(
-            chans_hbm[c].at[
-                ints_ref[kc, 0], ints_ref[kc, 1], pl.ds(y0, PHA), pl.ds(x0, PWA)
+            chans_hbm[3 * g + c].at[
+                ints_ref[kc, 1], ints_ref[kc, 2], pl.ds(y0, pha), pl.ds(x0, pwa)
             ],
-            slots.at[slot, c],
+            slots.at[slot, c, :pha, :pwa],
             sems.at[slot, c],
         )
 
     def start(k, slot):
         kc = jnp.minimum(k, CB - 1)
+        live = (k < CB) & (ints_ref[kc, 7] > 0)
+        for g in range(G):
 
-        @pl.when((k < CB) & (ints_ref[kc, 6] > 0))
-        def _():
-            for c in range(3):
-                make_dma(slot, k, c).start()
+            @pl.when(live & (ints_ref[kc, 0] == g))
+            def _(g=g):
+                for c in range(3):
+                    make_dma(g, slot, k, c).start()
 
     # Warm the pipeline: the first sub-group's U fetches in flight.
     for k in range(U):
@@ -250,9 +246,9 @@ def _fused_kernel(
         sc8 = kp8[:, 2:3]
         xmax8 = kp8[:, 3:4]
         ymax8 = kp8[:, 4:5]
-        y0d8 = in8[:, 2:3] + in8[:, 4:5]
-        x0d8 = in8[:, 3:4] + in8[:, 5:6]
-        valid8 = in8[:, 6:7] > 0
+        y0d8 = in8[:, 3:4] + in8[:, 5:6]
+        x0d8 = in8[:, 4:5] + in8[:, 6:7]
+        valid8 = in8[:, 7:8] > 0
 
         def coords8(offx, offy):
             """Batched offsets (U or 1, n) -> clipped patch-local coords
@@ -268,21 +264,27 @@ def _fused_kernel(
         for u in range(U):
             k = base_k + u
             slot = jax.lax.rem(k, NSLOT)
+            for g in range(G):
+                pha, pwa = GDIMS[g]
 
-            @pl.when(ints_ref[k, 6] > 0)
-            def _(k=k, u=u, slot=slot):
-                for c in range(3):
-                    make_dma(slot, k, c).wait()
-                dy = ints_ref[k, 4]
-                dx = ints_ref[k, 5]
-                for c in range(3):
-                    p = slots[slot, c]  # (PHA, PWA)
-                    if PHA > PH:
-                        p = pltpu.roll(p, jax.lax.rem(PHA - dy, PHA), 0)
-                    p = p[:PH, :]
-                    if PWA > PW:
-                        p = pltpu.roll(p, jax.lax.rem(PWA - dx, PWA), 1)
-                    pscr[u, c] = p[:, :PW]
+                @pl.when((ints_ref[k, 7] > 0) & (ints_ref[k, 0] == g))
+                def _(k=k, u=u, slot=slot, g=g, pha=pha, pwa=pwa):
+                    for c in range(3):
+                        make_dma(g, slot, k, c).wait()
+                    dy = ints_ref[k, 5]
+                    dx = ints_ref[k, 6]
+                    for c in range(3):
+                        p = slots[slot, c, :pha, :pwa]
+                        if pha > PH:
+                            p = pltpu.roll(p, jax.lax.rem(pha - dy, pha), 0)
+                            p = p[:PH, :]
+                        if pwa > PW:
+                            p = pltpu.roll(p, jax.lax.rem(pwa - dx, pwa), 1)
+                            p = p[:, :PW]
+                        # Levels smaller than the patch leave the tail rows/
+                        # lanes stale — clipped sample coords never select
+                        # them.
+                        pscr[u, c, : p.shape[0], : p.shape[1]] = p
 
             start(k + U, jax.lax.rem(k + U, NSLOT))
 
@@ -387,29 +389,68 @@ def _fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ss_statics", "d_statics", "level_major", "interpret")
+    jax.jit,
+    static_argnames=(
+        "ss_statics", "d_statics", "group_l0", "level_major", "interpret",
+    ),
 )
 def _run(
-    kx, ky, class_id, valid, c0, c1, c2,
-    *, ss_statics, d_statics, level_major, interpret,
+    kx, ky, class_id, valid, *chans,
+    ss_statics, d_statics, group_l0, level_major, interpret,
 ):
+    """Host prep + kernel launch.
+
+    chans: 3 arrays per octave group — (lt, lx, ly) with shapes
+    (n_g, B, h_g, w_g) (level-major; idx = (level - l0, frame)) or, for a
+    single batch-major group, (B, L, H, W) (idx = (frame, level)).
+    group_l0: static tuple of each group's first level index (a single
+    all-level group is just (0,)).
+    """
     from akaze_tpu.frontend.describe import _per_level_scale, _round_half_up
 
     B, M = kx.shape
     N = B * M
     assert M % CB == 0, f"keypoint capacity {M} must be a multiple of {CB}"
     PH, PW = d_statics.ph, d_statics.pw
-    D0, D1, H0, W0 = c0.shape
-    H0P = _round_up(H0, 8)
-    W0P = _round_up(W0, 128)
-    if (H0P, W0P) != (H0, W0):
-        padw = ((0, 0), (0, 0), (0, H0P - H0), (0, W0P - W0))
-        c0, c1, c2 = (jnp.pad(a, padw) for a in (c0, c1, c2))
-    PHA = min(PH + 8, H0P)
-    PWA = min(_round_up(PW + 127, 128), W0P)
+    G = len(group_l0)
+    L = ss_statics.num_levels
+
+    # Pad each group's planes to tile-aligned (…, Hp, Wp) and derive the
+    # per-group aligned-fetch window dims.
+    padded = []
+    gdims = []
+    for g in range(G):
+        trip = chans[3 * g : 3 * g + 3]
+        h, w = trip[0].shape[-2], trip[0].shape[-1]
+        hp, wp = _round_up(h, 8), _round_up(w, 128)
+        if (hp, wp) != (h, w):
+            padw = [(0, 0)] * (trip[0].ndim - 2) + [(0, hp - h), (0, wp - w)]
+            trip = tuple(jnp.pad(a, padw) for a in trip)
+        padded.extend(trip)
+        gdims.append((min(PH + 8, hp), min(_round_up(PW + 127, 128), wp)))
+    gdims = tuple(gdims)
+    max_pha = max(p for p, _ in gdims)
+    max_pwa = max(p for _, p in gdims)
+
+    # Static per-LEVEL lookup tables for the per-keypoint geometry.
+    grp_of = np.zeros(L, np.int32)
+    l0_of = np.zeros(L, np.int32)
+    hp_of = np.zeros(L, np.int32)
+    wp_of = np.zeros(L, np.int32)
+    pha_of = np.zeros(L, np.int32)
+    pwa_of = np.zeros(L, np.int32)
+    bounds = list(group_l0) + [L]
+    for g in range(G):
+        sl = slice(bounds[g], bounds[g + 1])
+        grp_of[sl] = g
+        l0_of[sl] = bounds[g]
+        hp_of[sl] = _round_up(int(padded[3 * g].shape[-2]), 8)
+        wp_of[sl] = _round_up(int(padded[3 * g].shape[-1]), 128)
+        pha_of[sl] = gdims[g][0]
+        pwa_of[sl] = gdims[g][1]
 
     # Flat per-keypoint geometry (identical to frontend/describe.py
-    # _chunk_geometry + kernels/patch_pallas alignment).
+    # _chunk_geometry + kernels/patch_pallas alignment, per group layout).
     lvl = class_id.reshape(N).astype(jnp.int32)
     ratios = jnp.asarray(ss_statics.ratios)[lvl]
     scales = jnp.asarray(_per_level_scale(ss_statics))[lvl].astype(jnp.float32)
@@ -419,14 +460,19 @@ def _run(
     yf = ky.reshape(N) / ratios
     y0d = jnp.clip(_round_half_up(yf) - PH // 2, 0, jnp.maximum(heights - PH, 0))
     x0d = jnp.clip(_round_half_up(xf) - PW // 2, 0, jnp.maximum(widths - PW, 0))
-    y0a = jnp.minimum((y0d // 8) * 8, H0P - PHA)
-    x0a = jnp.minimum((x0d // 128) * 128, W0P - PWA)
+    y0a = jnp.minimum(
+        (y0d // 8) * 8, jnp.asarray(hp_of)[lvl] - jnp.asarray(pha_of)[lvl]
+    )
+    x0a = jnp.minimum(
+        (x0d // 128) * 128, jnp.asarray(wp_of)[lvl] - jnp.asarray(pwa_of)[lvl]
+    )
     frame = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
-    idx0, idx1 = (lvl, frame) if level_major else (frame, lvl)
+    grp = jnp.asarray(grp_of)[lvl]
+    lvl_loc = lvl - jnp.asarray(l0_of)[lvl]
+    idx0, idx1 = (lvl_loc, frame) if level_major else (frame, lvl_loc)
     v = valid.reshape(N).astype(jnp.int32)
     ints = jnp.stack(
-        [idx0, idx1, y0a, x0a, y0d - y0a, x0d - x0a, v, jnp.zeros_like(v)],
-        axis=1,
+        [grp, idx0, idx1, y0a, x0a, y0d - y0a, x0d - x0a, v], axis=1
     )
     kpf = jnp.stack(
         [
@@ -464,7 +510,7 @@ def _run(
             pl.BlockSpec((CB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CB, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             *([vmem_full] * len(tables)),
-            *([pl.BlockSpec(memory_space=pl.ANY)] * 3),
+            *([pl.BlockSpec(memory_space=pl.ANY)] * (3 * G)),
         ],
         out_specs=[
             pl.BlockSpec((CB, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -473,7 +519,7 @@ def _run(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NSLOT, 3, PHA, PWA), jnp.float32),
+            pltpu.VMEM((NSLOT, 3, max_pha, max_pwa), jnp.float32),
             pltpu.VMEM((U, 3, PH, PW), jnp.float32),
             pltpu.SemaphoreType.DMA((NSLOT, 3)),
         ],
@@ -482,7 +528,7 @@ def _run(
 
     angles, desc = pl.pallas_call(
         functools.partial(
-            _fused_kernel, PH=PH, PW=PW, PHA=PHA, PWA=PWA, NWORDS=NWORDS,
+            _fused_kernel, PH=PH, PW=PW, NWORDS=NWORDS, GDIMS=gdims,
             ABLATE=os.environ.get("AKAZE_FUSED_ABLATE", ""),
         ),
         grid_spec=grid_spec,
@@ -497,7 +543,7 @@ def _run(
         ints.astype(jnp.int32),
         kpf.astype(jnp.float32),
         *(jnp.asarray(x) for x in tables),
-        c0, c1, c2,
+        *padded,
     )
     angles = angles.reshape(B, M)
     desc = jax.lax.bitcast_convert_type(desc, jnp.uint32).reshape(B, M, NWORDS)
@@ -508,10 +554,26 @@ def describe_fused(kps, stacks, ss_statics, d_statics, interpret: bool = False):
     """Fused describe over batched keypoints.
 
     kps: Keypoints with (B, M) leaves (single frames: B=1).  stacks: dict
-    with Lt/Lx/Ly either level-major (L, B, H0, W0) (stacks["level_major"]),
-    batch-major (B, L, H0, W0), or single-frame (L, H0, W0).  Returns
-    (angles (B, M) f32, descriptors (B, M, nwords) uint32).
+    with either "lvl_oct" (per-octave zero-copy level stacks from the
+    with_detect builder: tuple of dicts with Lt/Lx/Ly (n, B, h, w)) or
+    Lt/Lx/Ly as one stack — level-major (L, B, H0, W0)
+    (stacks["level_major"]), batch-major (B, L, H0, W0), or single-frame
+    (L, H0, W0).  Returns (angles (B, M) f32, descriptors (B, M, nwords)
+    uint32).
     """
+    if "lvl_oct" in stacks:
+        from akaze_tpu.kernels.fed_pallas import octave_groups
+
+        groups = octave_groups(ss_statics)
+        chans = []
+        for d in stacks["lvl_oct"]:
+            chans.extend([d["Lt"], d["Lx"], d["Ly"]])
+        return _run(
+            kps.x, kps.y, kps.class_id, kps.valid, *chans,
+            ss_statics=ss_statics, d_statics=d_statics,
+            group_l0=tuple(l0 for (l0, _, _, _) in groups),
+            level_major=True, interpret=interpret,
+        )
     lt, lx, ly = stacks["Lt"], stacks["Lx"], stacks["Ly"]
     level_major = bool(stacks.get("level_major", False)) and lt.ndim == 4
     if lt.ndim == 3:
@@ -519,6 +581,6 @@ def describe_fused(kps, stacks, ss_statics, d_statics, interpret: bool = False):
         level_major = True  # (L, 1, H, W)
     return _run(
         kps.x, kps.y, kps.class_id, kps.valid, lt, lx, ly,
-        ss_statics=ss_statics, d_statics=d_statics,
+        ss_statics=ss_statics, d_statics=d_statics, group_l0=(0,),
         level_major=level_major, interpret=interpret,
     )

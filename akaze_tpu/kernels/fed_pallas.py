@@ -139,6 +139,43 @@ def _detector_chain(lsmooth, sigma_size):
     return lx * sf, ly * sf, ldet
 
 
+def _score_fields_chain(ldet, border, threshold):
+    """In-kernel candidate scores + sub-pixel offset fields for one level
+    (f, h, w) — the same construction as _dense_score_fields, computed on
+    the VMEM-resident ldet (round 3: the XLA pass over the per-octave ldet
+    stacks was ~3-5 ms/batch16 of fusion traffic, and folding it here also
+    removes the ldet HBM round trip entirely on the with_detect path)."""
+    h, w = ldet.shape[-2], ldet.shape[-1]
+    n_e, n_w = _shift_x(ldet, 1), _shift_x(ldet, -1)
+    n_s, n_n = _shift_y(ldet, 1), _shift_y(ldet, -1)
+    n_se, n_nw = _shift_x(n_s, 1), _shift_x(n_n, -1)
+    n_ne, n_sw = _shift_x(n_n, 1), _shift_x(n_s, -1)
+    nmax = jnp.maximum(n_e, n_w)
+    nmax = jnp.maximum(nmax, jnp.maximum(n_s, n_n))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_se, n_nw))
+    nmax = jnp.maximum(nmax, jnp.maximum(n_ne, n_sw))
+    ys = jax.lax.broadcasted_iota(jnp.int32, ldet.shape, ldet.ndim - 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, ldet.shape, ldet.ndim - 1)
+    interior = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    cand = interior & (ldet > threshold) & (ldet > nmax)
+    score = jnp.where(cand, ldet, jnp.float32(-3.0e38))
+
+    dxv = 0.5 * (n_e - n_w)
+    dyv = 0.5 * (n_s - n_n)
+    dxx = n_e + n_w - 2.0 * ldet
+    dyy = n_s + n_n - 2.0 * ldet
+    dxy = 0.25 * (n_se + n_nw - n_ne - n_sw)
+    det = dxx * dyy - dxy * dxy
+    safe_det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    ox = (-dxv * dyy + dyv * dxy) / safe_det
+    oy = (-dyv * dxx + dxv * dxy) / safe_det
+    keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
+    nan = jnp.float32(jnp.nan)
+    return score, jnp.where(keep, ox, nan), jnp.where(keep, oy, nan)
+
+
 def _level_kernel(k_ref, seed_ref, lt_out, lx_out, ly_out, ldet_out,
                   *, taus, sigma_size, diffusivity, first_level):
     """One (frame, level) program: full fused level chain in VMEM.
@@ -208,10 +245,15 @@ def fused_level(seed, k, spec, diffusivity, first_level=False):
     return lt[0], lx[0], ly[0], ldet[0]
 
 
-def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f):
+def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f,
+                   with_detect, threshold):
     """One program running ALL levels of one octave for `f` frames chained
     in VMEM: each level's Lt seeds the next without an HBM round trip.
-    out_refs: per level (lt, lx, ly, ldet), blocks (f, h, w).
+    Outputs are level-major (n, f, h, w) blocks of the per-octave
+    (n, B, h, w) stacks — the kernel writes the FINAL level-stack layout
+    directly, so no XLA pad+stack pass ever touches these arrays (round 3:
+    the padded (L, B, H0, W0) stacks cost ~1.9 ms/batch16 of pure
+    dynamic-update-slice writes).
 
     f > 1 amortizes Mosaic's fixed per-op cost across frames — measured:
     an 80x60 level costs almost as much as a 640x480 one per program, so
@@ -239,27 +281,42 @@ def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f):
             gy = _scharr(lsmooth, 0, 1)
             g = _conductivity(gx, gy, kf, diffusivity)
             x = _diffusion_chain(x, g, spec.taus)
-        out_refs[4 * li][...] = x
+        out_refs[0][li] = x
         lx, ly, ldet = _detector_chain(lsmooth, spec.sigma_size)
-        out_refs[4 * li + 1][...] = lx
-        out_refs[4 * li + 2][...] = ly
-        out_refs[4 * li + 3][...] = ldet
+        out_refs[1][li] = lx
+        out_refs[2][li] = ly
+        if with_detect:
+            score, ox, oy = _score_fields_chain(
+                ldet, int(spec.border), threshold
+            )
+            out_refs[3][li] = score
+            out_refs[4][li] = ox
+            out_refs[5][li] = oy
+        else:
+            out_refs[3][li] = ldet
 
 
 @functools.partial(
-    jax.jit, static_argnames=("specs", "diffusivity", "first", "f")
+    jax.jit,
+    static_argnames=("specs", "diffusivity", "first", "f", "with_detect", "threshold"),
 )
 def fused_octave_batched(
-    seed, k, specs, diffusivity: Diffusivity, first: bool, f: int = 1
+    seed, k, specs, diffusivity: Diffusivity, first: bool, f: int = 1,
+    with_detect: bool = False, threshold: float = 0.0,
 ):
     """Run one whole octave for a batch of frames with `f` frames per
-    program (f must divide B), levels chained in VMEM.  Returns a flat list
-    of (B, H, W) arrays, 4 per level (lt, lx, ly, ldet)."""
+    program (f must divide B), levels chained in VMEM.  Returns LEVEL-MAJOR
+    (n_levels, B, h, w) stacks written directly by the kernel's out_specs
+    (no copy): (lt, lx, ly, ldet), or with_detect=True
+    (lt, lx, ly, score, ox, oy) — the detect fields are computed in-kernel
+    on the VMEM-resident ldet, which is then never written to HBM at all."""
     b, h, w = seed.shape
     assert b % f == 0
-    n_out = 4 * len(specs)
+    n = len(specs)
+    n_out = 6 if with_detect else 4
     kernel = functools.partial(
-        _octave_kernel, specs=specs, diffusivity=diffusivity, first=first, f=f
+        _octave_kernel, specs=specs, diffusivity=diffusivity, first=first,
+        f=f, with_detect=with_detect, threshold=float(threshold),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -268,13 +325,15 @@ def fused_octave_batched(
             pl.BlockSpec((f, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((f, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (n, f, h, w), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM
+            )
         ] * n_out,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n, b, h, w), jnp.float32)] * n_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -351,12 +410,15 @@ _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
 
 def _dense_score_fields(ldet, border, threshold):
-    """XLA dense candidate scores + sub-pixel offset fields for one level at
-    native (B, h, w) resolution — same construction as kernels/detect_pallas
+    """XLA dense candidate scores + sub-pixel offset fields at native
+    (..., h, w) resolution — same construction as kernels/detect_pallas
     (strict 3x3 max + threshold + static interior bounds; 2-var quadratic
     fit with rejected fits encoded as NaN).  Candidates are strictly
     interior (border >= 1), so edge-replicate vs padded-stack shift
-    semantics can never differ on a selected site."""
+    semantics can never differ on a selected site.
+
+    border: scalar for one level, or an (n,) array for a level-major
+    (n, B, h, w) octave stack (per-level interior bounds)."""
     h, w = ldet.shape[-2], ldet.shape[-1]
     pe = jnp.pad(ldet, [(0, 0)] * (ldet.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
 
@@ -372,10 +434,13 @@ def _dense_score_fields(ldet, border, threshold):
     nmax = jnp.maximum(nmax, jnp.maximum(n_se, n_nw))
     nmax = jnp.maximum(nmax, jnp.maximum(n_ne, n_sw))
 
+    b = np.asarray(border).reshape(-1, 1, 1, 1) if np.ndim(border) else border
     ys = np.arange(h)[:, None]
     xs = np.arange(w)[None, :]
+    # Scalar border: (h, w) mask.  Per-level border: (n, 1, h, w) mask that
+    # broadcasts against a level-major (n, B, h, w) stack.
     interior = jnp.asarray(
-        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+        (ys >= b) & (ys < h - b) & (xs >= b) & (xs < w - b)
     )
     cand = interior & (ldet > threshold) & (ldet > nmax)
     score = jnp.where(cand, ldet, jnp.float32(_NEG))
@@ -395,15 +460,15 @@ def _dense_score_fields(ldet, border, threshold):
 
 
 def _xla_octave(seed, k, ospecs, config, first):
-    """XLA level chain for one octave on (B, h, w) frames; output order
-    matches fused_octave_batched (lt, lx, ly, ldet per level)."""
+    """XLA level chain for one octave on (B, h, w) frames; output contract
+    matches fused_octave_batched: (lt, lx, ly, ldet), each (n, B, h, w)."""
     from akaze_tpu.frontend.scale_space import (
         conductivity, detector_response_level, fed_cycle, gaussian_blur, scharr,
     )
 
     kb = k.reshape(-1, 1, 1)
     x = seed
-    outs = []
+    lts, lxs, lys, ldets = [], [], [], []
     for li, spec in enumerate(ospecs):
         if first and li == 0:
             lsmooth = x
@@ -414,8 +479,13 @@ def _xla_octave(seed, k, ospecs, config, first):
             g = conductivity(gx, gy, kb, config.diffusivity)
             x = fed_cycle(x, g, spec.taus)
         lx, ly, ldet = detector_response_level(lsmooth, spec)
-        outs.extend([x, lx, ly, ldet])
-    return outs
+        lts.append(x)
+        lxs.append(lx)
+        lys.append(ly)
+        ldets.append(ldet)
+    return (
+        jnp.stack(lts), jnp.stack(lxs), jnp.stack(lys), jnp.stack(ldets)
+    )
 
 
 def build_scale_space_pallas_batched(
@@ -457,50 +527,98 @@ def build_scale_space_pallas_batched(
         if not octaves or spec.octave != octaves[-1][0]:
             octaves.append((spec.octave, []))
         octaves[-1][1].append(spec)
-    lts, lxs, lys, ldets = [], [], [], []
-    scores, oxs, oys = [], [], []
+    oct_levels = []  # per octave: (lt, lx, ly, ldet), each (n, B, h, w)
+    oct_fields = []  # per octave: (score, ox, oy), each (n, B, h, w)
     for oi, (_, ospecs) in enumerate(octaves):
         if oi > 0:
-            seed = half_size(lts[-1])
+            seed = half_size(oct_levels[-1][0][-1])
             k = k * config.contrast_octave_decay
         if oi < pallas_octaves:
-            # One frame per program.  Batching frames per program (f > 1) to
-            # amortize per-op cost was tried for the deep octaves and
-            # abandoned: Mosaic compile time explodes on the narrow
-            # (f, 60, 80)-shaped unrolled bodies (>> 10 min at f=16).
-            outs = fused_octave_batched(
-                seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0), f=1
+            # Deep octaves are per-op-issue-bound in Mosaic (an 80x60 level
+            # costs nearly as much as 640x480 per program); batching a few
+            # frames per program amortizes the issue cost.  f=16 explodes
+            # Mosaic compile time (round-2 negative, >10 min on (16, 60,
+            # 80) bodies); small f is the round-3 middle ground, applied
+            # only from octave 2 down.
+            from akaze_tpu.core.config import _env_override
+
+            deep_f = _env_override(
+                "AKAZE_DEEP_F", config.deep_octave_frames, cast=int
             )
+            f = deep_f if oi >= 2 else 1
+            while seed.shape[0] % f:
+                f -= 1
+            outs = fused_octave_batched(
+                seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0),
+                f=f, with_detect=with_detect,
+                threshold=float(config.detector_threshold),
+            )
+            oct_levels.append(outs[:3] + (None,) if with_detect else outs)
+            if with_detect:
+                oct_fields.append(outs[3:])
         else:
             outs = _xla_octave(seed, k, ospecs, config, first=(oi == 0))
-        for li, spec in enumerate(ospecs):
-            lts.append(outs[4 * li])
-            lxs.append(outs[4 * li + 1])
-            lys.append(outs[4 * li + 2])
-            ldets.append(outs[4 * li + 3])
+            oct_levels.append(outs)
             if with_detect:
-                s_, ox_, oy_ = _dense_score_fields(
-                    ldets[-1], int(spec.border), float(config.detector_threshold)
+                borders = np.asarray(
+                    [spec.border for spec in ospecs], np.int32
                 )
-                scores.append(s_)
-                oxs.append(ox_)
-                oys.append(oy_)
-        seed = lts[-1]
-    # Lt/Lx/Ly feed the Pallas patch gather (default-layout ANY operands):
-    # level-major stacking keeps them copy-free (see stack_levels).  The
-    # detect stacks stay frame-major for the vmapped detection path.
+                oct_fields.append(
+                    _dense_score_fields(
+                        outs[3], borders, float(config.detector_threshold)
+                    )
+                )
+    # Level stacks stay PER-OCTAVE at native resolution, level-major
+    # (n, B, h, w), written directly by the octave kernels' out_specs —
+    # no padded (L, B, H0, W0) stacks anywhere (round 3: those cost
+    # ~0.4 ms/batch16 of pure HBM writes EACH; ~3.2 ms total in the
+    # round-3 trace).
     out = {
-        "Lt": stack_levels(lts, specs, level_major=True),
-        "Lx": stack_levels(lxs, specs, level_major=True),
-        "Ly": stack_levels(lys, specs, level_major=True),
-        "Ldet": stack_levels(ldets, specs),
+        "lvl_oct": tuple(
+            {"Lt": o[0], "Lx": o[1], "Ly": o[2]} for o in oct_levels
+        ),
         "level_major": True,
     }
     if with_detect:
-        out["score"] = stack_levels(scores, specs, fill=_NEG)
-        out["ox"] = stack_levels(oxs, specs, fill=np.nan)
-        out["oy"] = stack_levels(oys, specs, fill=np.nan)
+        out["oct"] = tuple(
+            {"score": f0, "ox": f1, "oy": f2} for (f0, f1, f2) in oct_fields
+        )
+    else:
+        # Compat contract for the parity tests: padded level-major /
+        # batch-major stacks reconstructed from the per-octave arrays.
+        out["Lt"] = stack_levels(
+            [o[0][i] for o in oct_levels for i in range(o[0].shape[0])],
+            specs, level_major=True,
+        )
+        out["Lx"] = stack_levels(
+            [o[1][i] for o in oct_levels for i in range(o[1].shape[0])],
+            specs, level_major=True,
+        )
+        out["Ly"] = stack_levels(
+            [o[2][i] for o in oct_levels for i in range(o[2].shape[0])],
+            specs, level_major=True,
+        )
+        out["Ldet"] = stack_levels(
+            [o[3][i] for o in oct_levels for i in range(o[3].shape[0])],
+            specs,
+        )
     return out
+
+
+def octave_groups(statics) -> tuple:
+    """Static per-octave level grouping: tuple of (l0, n, h, w) — the first
+    level index, level count and native resolution of each octave."""
+    groups = []
+    lvl = 0
+    L = statics.num_levels
+    while lvl < L:
+        h, w = int(statics.heights[lvl]), int(statics.widths[lvl])
+        n = 1
+        while lvl + n < L and int(statics.heights[lvl + n]) == h:
+            n += 1
+        groups.append((lvl, n, h, w))
+        lvl += n
+    return tuple(groups)
 
 
 def build_scale_space_pallas(img: jax.Array, statics, with_detect: bool = False) -> dict:
@@ -509,7 +627,18 @@ def build_scale_space_pallas(img: jax.Array, statics, with_detect: bool = False)
     level_major flag is moot (and dropped) for single frames."""
     out = build_scale_space_pallas_batched(img[None], statics, with_detect)
     lm = out.pop("level_major", False)
-    return {
-        k: (v[:, 0] if lm and k in ("Lt", "Lx", "Ly") else v[0])
-        for k, v in out.items()
-    }
+    res = {}
+    for k, v in out.items():
+        if k in ("Lt", "Lx", "Ly"):
+            res[k] = v[:, 0] if lm else v[0]
+        elif k == "oct":
+            # Level-major (n, B, h, w): drop the frame axis (axis 1).
+            res[k] = jax.tree.map(lambda a: a[:, 0], v)
+        elif k == "lvl_oct":
+            # Keep the frame axis (B=1): the describe kernel indexes
+            # [level, frame] uniformly.
+            res[k] = v
+            res["level_major"] = True
+        else:
+            res[k] = v[0]
+    return res

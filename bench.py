@@ -81,26 +81,54 @@ def bench_headline() -> None:
     mcfg = MatchConfig()
     # Batch 64 beats 16 by ~3.5% on v5e (766 vs 740 fps measured 2026-08-18):
     # per-dispatch fixed costs amortize; beyond 64 the gain flattens.
+    # DISTINCT pre-uploaded inputs per rep guard against tunnel result
+    # reuse (verified identical to same-input in round 2, but the round-3
+    # custom-call-free configs measured impossible numbers with one input).
     batch = 64
-    frames = jnp.asarray(video_sequence(batch, 480, 640, seed=0))
+    reps = 4
+    # One UNIQUE buffer per rep: re-executing the same program on the same
+    # device buffer can return a cached result through the tunnel (measured
+    # 865k "fps").  4 queued batch-64 dispatches measure honestly (57 ms
+    # each, consistent with the batch-16 device time); 6 abort the tunneled
+    # backend.  Per-rep host syncs are NOT an option here: one tunnel round
+    # trip costs ~230 ms and would swamp the 57 ms compute.
+    frame_sets = [
+        jnp.asarray(video_sequence(batch, 480, 640, seed=s))
+        for s in range(reps)
+    ]
+    jax.block_until_ready(frame_sets)
 
     @jax.jit
-    def step(imgs):
+    def step(imgs, token):
+        # The token chains rep r+1's INPUT to rep r's OUTPUT (via an
+        # optimization barrier so XLA cannot elide it): the final result
+        # transitively depends on every dispatch, so one host sync at the
+        # end provably waits for all of them.  Without this, the tunneled
+        # backend's block_until_ready can return before the queued work
+        # finishes (measured 889k "fps" with 4 distinct input buffers).
+        imgs, token = jax.lax.optimization_barrier((imgs, token))
         feats = extract_batch_fn(imgs, config)
         kp = feats.keypoints
         m = jax.vmap(lambda da, va, db, vb: match_fn(da, va, db, vb, mcfg))(
             feats.descriptors[:-1], kp.valid[:-1],
             feats.descriptors[1:], kp.valid[1:],
         )
-        return feats.keypoints.count(), m.count()
+        kc = feats.keypoints.count()
+        return kc, m.count(), jnp.sum(kc).astype(jnp.float32)
 
-    jax.block_until_ready(step(frames))  # compile
-    reps = 5
+    token = jnp.float32(0.0)
+    jax.block_until_ready(step(frame_sets[0], token))  # compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(frames)
-    jax.block_until_ready(out)
-    fps = batch * reps / (time.perf_counter() - t0)
+    counts = []
+    for f in frame_sets:
+        kc, mc, token = step(f, token)
+        counts.append(kc)
+    token = float(token)  # one host sync closing the dependency chain
+    dt = time.perf_counter() - t0
+    # Integrity guard: distinct inputs must produce non-identical outputs.
+    csums = [int(c.sum()) for c in counts]
+    assert len(set(csums)) > 1, "bench outputs identical across inputs"
+    fps = batch * len(frame_sets) / dt
     _emit(
         "akaze_vga_detect_describe_match_fps", fps, "frames/s", fps / baseline_fps()
     )
@@ -131,7 +159,9 @@ def bench_two_view() -> None:
     keys = jax.random.split(jax.random.PRNGKey(0), P)
 
     @jax.jit
-    def step(imgs):
+    def step(imgs, token):
+        # Token chain: see bench_headline — defeats tunnel early-return.
+        imgs, token = jax.lax.optimization_barrier((imgs, token))
         feats = extract_batch_fn(imgs, config)
         kp = feats.keypoints
         da, va = feats.descriptors[0::2], kp.valid[0::2]
@@ -149,13 +179,16 @@ def bench_two_view() -> None:
             kp.x[0::2], kp.y[0::2], kp.x[1::2], kp.y[1::2],
             m.idx_b, m.accepted, keys,
         )
-        return pose.num_inliers
+        inl = pose.num_inliers
+        return inl, jnp.sum(inl).astype(jnp.float32)
 
-    jax.block_until_ready(step(frame_sets[0]))
-    reps = 6
+    token = jnp.float32(0.0)
+    jax.block_until_ready(step(frame_sets[0], token))
+    reps = 4
     t0 = time.perf_counter()
-    outs = [step(frame_sets[r % len(frame_sets)]) for r in range(reps)]
-    jax.block_until_ready(outs)
+    for r in range(reps):
+        _, token = step(frame_sets[r % len(frame_sets)], token)
+    token = float(token)  # one host sync closing the dependency chain
     pps = P * reps / (time.perf_counter() - t0)
     _emit("two_view_pose_pairs_per_s", pps, "pairs/s")
 
@@ -211,28 +244,40 @@ def bench_conductivity() -> None:
     from akaze_tpu.utils.synthetic import video_sequence
 
     # Batch 16, not the headline's 64: the remote Mosaic/XLA compile service
-    # deterministically ABORTS on the g1-variant pipeline with the fused
-    # describe kernel at batch 64 (g2@64 and g1@16 both compile and run;
-    # reproduced 3x on 2026-08-19).  Batch 16 costs ~4% fps vs 64 on the
-    # headline, so variant ratios remain comparable.
+    # intermittently ABORTS on the variant pipelines at batch 64 (g2@64 and
+    # g1@16 both compile and run; reproduced 3x on 2026-08-19).  Batch 16
+    # costs ~4% fps vs 64 on the headline, so variant ratios remain
+    # comparable.  DISTINCT pre-uploaded inputs per rep: one reused input
+    # measured an impossible 220k fps (tunnel result reuse).
     batch = 16
-    frames = jnp.asarray(video_sequence(batch, 480, 640, seed=0))
+    frame_sets = [
+        jnp.asarray(video_sequence(batch, 480, 640, seed=s)) for s in (0, 1, 2)
+    ]
+    jax.block_until_ready(frame_sets)
     for diff in (Diffusivity.PM_G1, Diffusivity.WEICKERT):
         config = AkazeConfig(diffusivity=diff)
 
-        def f_impl(im, c=config):
+        def f_impl(im, token, c=config):
+            # Token chain: see bench_headline — defeats tunnel early-return.
+            im, token = jax.lax.optimization_barrier((im, token))
             feats = extract_batch_fn(im, c)
             # Descriptor checksum keeps the describe stage live (counts
             # alone would let XLA dead-code-eliminate it).
-            return feats.keypoints.count(), jnp.sum(feats.descriptors)
+            kc = feats.keypoints.count()
+            # The descriptor term must be non-elidable (0 * x would let XLA
+            # DCE the describe stage): use the u32 checksum's parity.
+            dsum = (jnp.sum(feats.descriptors) % 2).astype(jnp.float32)
+            return kc, jnp.sum(kc).astype(jnp.float32) + dsum
 
         f = jax.jit(f_impl)
-        jax.block_until_ready(f(frames))
+        token = jnp.float32(0.0)
+        jax.block_until_ready(f(frame_sets[0], token))
+        reps = 4
         t0 = time.perf_counter()
-        for _ in range(3):
-            out = f(frames)
-        jax.block_until_ready(out)
-        fps = batch * 3 / (time.perf_counter() - t0)
+        for r in range(reps):
+            _, token = f(frame_sets[r % len(frame_sets)], token)
+        token = float(token)
+        fps = batch * reps / (time.perf_counter() - t0)
         _emit(
             f"akaze_vga_fps_{diff.value}", fps, "frames/s",
             fps / _variant_baseline_fps(diff.value),

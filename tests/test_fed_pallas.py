@@ -52,17 +52,35 @@ def test_with_detect_matches_detect_pallas():
         [textured_scene(96, 128, seed=s) for s in (2, 3)]
     ).astype(np.float32)
     st = ScaleSpaceStatics(128, 96, cfg)
+    from akaze_tpu.frontend.scale_space import build_scale_space, stack_levels
+    from akaze_tpu.kernels.fed_pallas import octave_groups
+
     with pltpu.force_tpu_interpret_mode():
         full = jax.jit(
             lambda im: build_scale_space_pallas_batched(im, st, with_detect=True)
         )(jnp.asarray(imgs))
-        scores, ox, oy = detect_scores_pallas(full["Ldet"], st)
+        ldet = jax.jit(
+            lambda im: build_scale_space_pallas_batched(im, st)
+        )(jnp.asarray(imgs))["Ldet"]
+        scores, ox, oy = detect_scores_pallas(ldet, st)
+
+    def restack(key, fill):
+        # Round 3: the builder emits per-octave native-resolution products;
+        # pad+stack them here only for the comparison.
+        levels = []
+        for (l0, n, _, _), prod in zip(octave_groups(st), full["oct"]):
+            for i in range(n):
+                levels.append(prod[key][i])  # level-major (n, B, h, w)
+        return stack_levels(levels, st.specs, fill=fill)
+
     np.testing.assert_allclose(
-        np.asarray(full["score"]), np.asarray(scores), atol=2e-6, rtol=1e-6
+        np.asarray(restack("score", -3.0e38)), np.asarray(scores),
+        atol=2e-6, rtol=1e-6,
     )
     cand = np.asarray(scores) > -1e38
     assert cand.sum() > 10  # the scene must actually produce candidates
     ox_ref, oy_ref = np.asarray(ox), np.asarray(oy)
-    ox_got, oy_got = np.asarray(full["ox"]), np.asarray(full["oy"])
+    ox_got = np.asarray(restack("ox", np.nan))
+    oy_got = np.asarray(restack("oy", np.nan))
     np.testing.assert_allclose(ox_got[cand], ox_ref[cand], atol=2e-5, equal_nan=True)
     np.testing.assert_allclose(oy_got[cand], oy_ref[cand], atol=2e-5, equal_nan=True)
