@@ -50,8 +50,14 @@ def extract_fn(img: jax.Array, config: AkazeConfig) -> Features:
 
     On TPU this is the batched pipeline at B=1 (round 3): one code path —
     per-octave zero-copy level stacks, fused describe kernel and all."""
+    # A 3-D input here ((H, W, C) color or an accidental batch) must not be
+    # silently reinterpreted as a frame stack with only frame 0 returned.
+    assert img.ndim == 2, (
+        f"extract_fn expects a single (H, W) grayscale image, got shape "
+        f"{img.shape}; use extract_batch_fn for batches"
+    )
     if _use_pallas_scale_space():
-        feats = extract_batch_fn(img[None] if img.ndim == 2 else img, config)
+        feats = extract_batch_fn(img[None], config)
         return jax.tree.map(lambda a: a[0], feats)
     img = _as_unit_gray(img)
     height, width = img.shape[-2], img.shape[-1]

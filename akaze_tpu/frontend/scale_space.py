@@ -37,6 +37,11 @@ def filter_1d(img: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
     kernel flip — matching golden.image._filter_1d) so the 16-level unrolled
     pipeline stays a small XLA graph.  f32 accumulation order may differ from
     the NumPy oracle by ulps; parity gates are tolerance-based.
+
+    `precision=HIGHEST` is load-bearing on TPU: the default conv precision
+    lowers the multiplies to bf16, which measured a 22.3 mean-Hamming-bit
+    descriptor drift vs golden on the all-XLA octave path (round-3
+    attribution table, BASELINE.md) — full-f32 convs are the fix.
     """
     axis = axis % img.ndim
     k = np.asarray(kernel, np.float32)
@@ -47,7 +52,8 @@ def filter_1d(img: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
     x = x.reshape(-1, 1, n)
     x = jnp.pad(x, ((0, 0), (0, 0), (half, half)), mode="edge")
     out = jax.lax.conv_general_dilated(
-        x, jnp.asarray(k)[None, None, :], window_strides=(1,), padding="VALID"
+        x, jnp.asarray(k)[None, None, :], window_strides=(1,), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
 

@@ -111,7 +111,14 @@ def _enforce_essential(e: jax.Array, sweeps: int = 4) -> jax.Array:
             aqq = jnp.sum(aq * aq, axis=-1)
             apq = jnp.sum(ap * aq, axis=-1)
             tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            # tau == 0 with apq != 0 means app == aqq exactly: sign(0) = 0
+            # would skip the rotation and the pair never orthogonalizes —
+            # the correct Jacobi angle there is 45 degrees (t = 1).
+            t = jnp.where(
+                tau == 0,
+                1.0,
+                jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            )
             t = jnp.where(apq == 0, 0.0, t)
             c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
             s = c * t[..., None]

@@ -17,10 +17,12 @@ HBM -> XLA chunked one-hot einsums under a lax.map of lax.conds).  Per
   4. writes (angle, int32[16] words) — nothing else touches HBM.
 
 Dead work is skipped at 8-keypoint granularity: keypoints are
-response-sorted per frame so validity is a per-frame prefix, and each
-program runs only ceil(live/8) sub-group iterations of its fori_loop
-(scalar-prefetched).  Fully dead programs cost one zero-fill of the tiny
-output block.
+response-sorted per frame, and each program runs only ceil(live/8)
+sub-group iterations of its fori_loop (scalar-prefetched), where `live`
+counts through the LAST valid keypoint (validity may have mid-prefix
+holes from sub-pixel rejection; holes are skipped per-keypoint inside
+phase A).  Fully dead programs cost one zero-fill of the tiny output
+block.
 
 Why this shape: the round-2 per-keypoint kernel (kernels/describe_pallas.py)
 lost to the XLA chunk path because its serial CK=8 loop issued tiny
@@ -483,8 +485,15 @@ def _run(
         ],
         axis=1,
     )
-    # Live sub-groups per program (validity is a per-frame prefix).
-    counts = jnp.sum(valid.astype(jnp.int32), axis=1)  # (B,)
+    # Live sub-groups per program.  Coverage must extend through the LAST
+    # valid keypoint, not sum(valid): detect() invalidates subpixel-rejected
+    # winners in place (frontend/detect.py `keep`) without compacting, so
+    # validity can have mid-prefix holes.  A sum-based count would strand
+    # trailing valid keypoints past ceil(count/U) sub-groups with zero
+    # descriptors (still flagged valid) and leak their prefetch-DMA
+    # semaphores into later grid programs.
+    kp_iota = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    counts = jnp.max(jnp.where(valid, kp_iota + 1, 0), axis=1)  # (B,)
     ppf = M // CB  # programs per frame
     off = jnp.tile(jnp.arange(ppf, dtype=jnp.int32) * CB, B)
     live = jnp.clip(jnp.repeat(counts, ppf) - off, 0, CB)

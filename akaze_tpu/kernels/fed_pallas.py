@@ -545,7 +545,10 @@ def build_scale_space_pallas_batched(
             deep_f = _env_override(
                 "AKAZE_DEEP_F", config.deep_octave_frames, cast=int
             )
-            f = deep_f if oi >= 2 else 1
+            # Clamp: deep_f <= 0 (possible via the int-cast env override)
+            # would either divide by zero or walk the loop below to a
+            # negative frames-per-program.
+            f = max(1, deep_f) if oi >= 2 else 1
             while seed.shape[0] % f:
                 f -= 1
             outs = fused_octave_batched(

@@ -8,6 +8,8 @@ atan2 polynomial (~1e-7 rad), both bounded here.  Runs in Pallas interpret
 mode on the CPU test mesh (the TPU pipeline runs the same kernel compiled).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +86,47 @@ def test_fused_batched_frames(pipeline_pair):
         d_ang = np.minimum(d_ang, 2 * np.pi - d_ang)
         assert d_ang.max() < 1e-5
         assert (np.asarray(desc[b])[~v] == 0).all()
+
+
+def test_fused_validity_holes(pipeline_pair):
+    """Mid-prefix invalid slots (detect() rejects sub-pixel fits in place
+    without compacting) must not strand trailing VALID keypoints: with >= 8
+    holes inside one 64-keypoint program a sum-based live count would skip
+    their sub-groups, emitting zero descriptors still flagged valid and
+    leaking their prefetch-DMA semaphores (round-3 advisor high finding)."""
+    _, ss, ds, stacks, kps, _ = pipeline_pair
+    v = np.asarray(kps[0].valid)
+    n_valid = int(v.sum())
+    assert n_valid > 30
+    # Punch 10 holes into the valid prefix of the FIRST 64-kp program; the
+    # dense run [8..18) guarantees >= 8 rejections inside one program.
+    holes = [3, 5] + list(range(8, 16))
+    holes = [h for h in holes if h < n_valid - 4]
+    v_holed = v.copy()
+    v_holed[holes] = False
+    kp_holed = dataclasses.replace(kps[0], valid=jnp.asarray(v_holed))
+
+    kb_full = jax.tree.map(lambda a: a[None], kps[0])
+    kb_holed = jax.tree.map(lambda a: a[None], kp_holed)
+    ang_f, desc_f = describe_fused(kb_full, stacks[0], ss, ds, interpret=True)
+    ang_h, desc_h = describe_fused(kb_holed, stacks[0], ss, ds, interpret=True)
+
+    # Trailing valid keypoints (indices past every hole) must be bit-equal
+    # to the no-hole run — in particular NOT zero-filled.
+    tail = v_holed.copy()
+    tail[: max(holes) + 1] = False
+    assert tail.sum() >= 8, "need trailing valid keypoints past the holes"
+    np.testing.assert_array_equal(
+        np.asarray(desc_h[0])[tail], np.asarray(desc_f[0])[tail]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ang_h[0])[tail], np.asarray(ang_f[0])[tail]
+    )
+    assert (np.asarray(desc_h[0])[tail] != 0).any(axis=-1).all(), (
+        "trailing valid keypoints got zero descriptors (coverage hole)"
+    )
+    # Holes themselves are zeroed like any invalid slot.
+    assert (np.asarray(desc_h[0])[holes] == 0).all()
 
 
 def test_fused_level_major_layout(pipeline_pair):
