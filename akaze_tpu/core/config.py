@@ -172,11 +172,21 @@ class RansacConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SfmConfig:
-    """Incremental SfM / bundle adjustment options (SURVEY.md §7.1 sfm/)."""
+    """Incremental SfM / bundle adjustment options (SURVEY.md §7.1 sfm/).
 
-    max_keyframes: int = 64
-    max_points: int = 8192
+    There is deliberately NO max_keyframes/max_points capacity field: the
+    round-2 K=64 dense-solve ceiling those fields encoded was lifted in
+    round 3 (BA hands off to block-Jacobi CG past K=64 and Schur cross
+    terms assemble via segment-sum — sfm/ba.py), so the solver scales with
+    the problem and a config cap would only mislead."""
+
     ba_iterations: int = 10
+    # Observations per point packed into the fixed-shape BA problem (the
+    # earliest Q keyframes observing each track; extra observations are
+    # dropped).  Bounds BA cost linearly in Q.  Measured at the 200 kf /
+    # 5 k pt bench scale: Q=16 changes ATE negligibly vs Q=8 at ~Q-
+    # proportional BA cost — see BASELINE.md round-4 Q-cap A/B note.
+    ba_obs_per_point: int = 8
     # Levenberg-Marquardt damping bounds.
     lm_lambda_init: float = 1e-3
     lm_lambda_max: float = 1e6

@@ -501,7 +501,7 @@ def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
     `points` is the dense (P, 3) row array (rows without a valid track get
     no observations and are left untouched by the damped solver)."""
     P = len(points)
-    Q = max(2, min(8, num_kf))
+    Q = max(2, min(sconfig.ba_obs_per_point, num_kf))
     obs_cam = np.zeros((P, Q), np.int32)
     obs_uv = np.zeros((P, Q, 2), np.float32)
     obs_valid = np.zeros((P, Q), bool)

@@ -12,7 +12,13 @@ collectives over Gloo) and exercises:
      distributed failure, not a simulation);
   3. survivor recovery: a fresh process re-runs jax.distributed.initialize
      (world size 1), loads the last checkpoint and finishes the job,
-     landing on the uninterrupted trajectory.
+     landing on the uninterrupted trajectory;
+  4. (round 4) DP extraction — the dominant throughput axis — running
+     sharded across a real 2-process mesh, bitwise-matching the
+     single-process batched pipeline;
+  5. (round 4) a 3-process world losing one member and re-initializing
+     with the TWO survivors (world 3 -> 2, not -> 1), finishing from the
+     checkpoint on the smaller world.
 """
 
 import os
@@ -40,7 +46,11 @@ jax.config.update("jax_platforms", "cpu")
 # package imports build jnp constants), so bootstrap first.
 from akaze_tpu.parallel import distributed
 
-nproc = 2 if mode.startswith("pair") else 1
+nproc = {{"pair": 2, "pair_crash": 2, "trio_crash": 3, "duo_resume": 2,
+         "solo": 1}}[mode]
+# trio paths use P=48 (divisible by the 12-device trio mesh AND the
+# 8-device duo mesh the survivors re-form).
+npts = 48 if mode in ("trio_crash", "duo_resume") else 64
 distributed.initialize(f"localhost:{{port}}", num_processes=nproc, process_id=pid)
 
 import numpy as np
@@ -56,8 +66,8 @@ assert jax.process_count() == nproc, jax.process_count()
 mesh = distributed.global_mesh()
 ndev = jax.device_count()
 
-problem, _, _ = _synthetic_problem(P=64, seed=3)
-if mode == "solo":
+problem, _, _ = _synthetic_problem(P=npts, seed=3)
+if mode in ("solo", "duo_resume"):
     state = np.load(ckpt)
     problem = BAProblem(
         poses=jnp.asarray(state["poses"]), points=jnp.asarray(state["points"]),
@@ -87,11 +97,11 @@ def gather(pb):
 cfg = SfmConfig(ba_iterations=6)
 r1 = bundle_adjust_sharded(to_global(problem), cfg, mesh)
 poses1, points1 = gather(r1)
-if mode != "solo":
+if mode not in ("solo", "duo_resume"):
     if pid == 0:
         np.savez(ckpt, poses=poses1, points=points1)
     print("ROUND1 done", flush=True)
-    if mode == "pair_crash":
+    if mode in ("pair_crash", "trio_crash"):
         time.sleep(2.5)  # window for the parent to SIGKILL our peer
     pb2 = BAProblem(
         poses=jnp.asarray(poses1), points=jnp.asarray(points1),
@@ -100,10 +110,68 @@ if mode != "solo":
     )
     r2 = bundle_adjust_sharded(to_global(pb2), cfg, mesh)
 else:
+    # solo / duo_resume: the checkpoint IS round 1's output; this BA run
+    # was round 2 on the re-formed (smaller) world.
     r2 = r1
 poses2, _ = gather(r2)
 if pid == 0:
     np.savez(out, poses=poses2)
+print("DONE", flush=True)
+"""
+
+
+_EXTRACT_WORKER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+port, out, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from akaze_tpu.parallel import distributed
+
+distributed.initialize(f"localhost:{{port}}", num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+
+from akaze_tpu.core.config import AkazeConfig
+from akaze_tpu.frontend.pipeline import extract_batch_fn
+from akaze_tpu.utils.synthetic import video_sequence
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+mesh = distributed.global_mesh()
+sharding = NamedSharding(mesh, P("data"))
+config = AkazeConfig(max_keypoints=128, per_level_candidates=32)
+
+frames = np.asarray(video_sequence(8, 96, 128, seed=4), np.float32)
+local = frames[pid * 4:(pid + 1) * 4]
+gframes = jax.make_array_from_process_local_data(sharding, local)
+
+@jax.jit
+def run(imgs):
+    return extract_batch_fn(
+        jax.lax.with_sharding_constraint(imgs, sharding), config
+    )
+
+feats = run(gframes)
+gathered = {{
+    "x": np.asarray(multihost_utils.process_allgather(feats.keypoints.x, tiled=True)),
+    "y": np.asarray(multihost_utils.process_allgather(feats.keypoints.y, tiled=True)),
+    "resp": np.asarray(
+        multihost_utils.process_allgather(feats.keypoints.response, tiled=True)
+    ),
+    "valid": np.asarray(
+        multihost_utils.process_allgather(feats.keypoints.valid, tiled=True)
+    ),
+    "desc": np.asarray(
+        multihost_utils.process_allgather(feats.descriptors, tiled=True)
+    ),
+}}
+if pid == 0:
+    np.savez(out, **gathered)
 print("DONE", flush=True)
 """
 
@@ -125,14 +193,12 @@ def _spawn(mode, port, ckpt, out, pid):
     )
 
 
-def _single_process_reference():
-    import jax.numpy as jnp
-
+def _single_process_reference(npts=64):
     from akaze_tpu.core.config import SfmConfig
     from akaze_tpu.sfm.ba import BAProblem, bundle_adjust
     from tests.test_ba import _synthetic_problem
 
-    problem, _, _ = _synthetic_problem(P=64, seed=3)
+    problem, _, _ = _synthetic_problem(P=npts, seed=3)
     cfg = SfmConfig(ba_iterations=6)
     r1 = bundle_adjust(problem, cfg)
     pb2 = BAProblem(
@@ -147,6 +213,11 @@ def _single_process_reference():
 @pytest.fixture(scope="module")
 def reference_poses():
     return _single_process_reference()
+
+
+@pytest.fixture(scope="module")
+def reference_poses_48():
+    return _single_process_reference(npts=48)
 
 
 def test_two_process_sharded_ba_matches_single(tmp_path, reference_poses):
@@ -209,3 +280,93 @@ def test_sigkill_peer_then_survivor_resumes(tmp_path, reference_poses):
     assert solo.returncode == 0, stdout[-2000:]
     poses = np.load(out)["poses"]
     np.testing.assert_allclose(poses, reference_poses, atol=1e-3)
+
+
+def test_two_process_dp_extraction_matches_single(tmp_path):
+    """DP extraction — the dominant throughput axis (SURVEY.md §2 DP row) —
+    runs sharded across a REAL 2-process mesh (frames split across
+    processes, 8-device global mesh) and bitwise-matches the
+    single-process batched pipeline."""
+    port = _free_port()
+    out = tmp_path / "feats.npz"
+    ps = [
+        subprocess.Popen(
+            [sys.executable, "-c", _EXTRACT_WORKER.format(repo=_REPO),
+             str(port), str(out), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={**os.environ, "JAX_PLATFORMS": ""},
+        )
+        for pid in range(2)
+    ]
+    for p in ps:
+        stdout, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, stdout[-2000:]
+        assert "DONE" in stdout
+
+    import jax
+
+    from akaze_tpu.core.config import AkazeConfig
+    from akaze_tpu.frontend.pipeline import extract_batch_fn
+    from akaze_tpu.utils.synthetic import video_sequence
+
+    config = AkazeConfig(max_keypoints=128, per_level_candidates=32)
+    frames = np.asarray(video_sequence(8, 96, 128, seed=4), np.float32)
+    ref = jax.jit(lambda im: extract_batch_fn(im, config))(frames)
+
+    got = np.load(out)
+    assert got["valid"].sum() > 0, "no keypoints detected across the mesh"
+    np.testing.assert_array_equal(got["valid"], np.asarray(ref.keypoints.valid))
+    np.testing.assert_array_equal(got["x"], np.asarray(ref.keypoints.x))
+    np.testing.assert_array_equal(got["y"], np.asarray(ref.keypoints.y))
+    np.testing.assert_array_equal(
+        got["resp"], np.asarray(ref.keypoints.response)
+    )
+    np.testing.assert_array_equal(got["desc"], np.asarray(ref.descriptors))
+
+
+def test_three_process_loss_reforms_two_survivor_world(
+    tmp_path, reference_poses_48
+):
+    """World 3 -> 2, not -> 1 (SURVEY.md §5: "re-initialize with
+    survivors"): a 3-process world loses one member mid-run; the TWO
+    survivors re-initialize a fresh 2-process world and finish round 2
+    from the checkpoint, landing on the uninterrupted trajectory."""
+    port = _free_port()
+    ckpt = tmp_path / "ckpt.npz"
+    out = tmp_path / "out.npz"
+    ps = [_spawn("trio_crash", port, ckpt, out, pid) for pid in range(3)]
+
+    deadline = time.time() + 240
+    line = ""
+    while time.time() < deadline:
+        line = ps[0].stdout.readline()
+        if "ROUND1 done" in line:
+            break
+    assert "ROUND1 done" in line, "round 1 never completed"
+    assert ckpt.exists()
+    os.kill(ps[2].pid, signal.SIGKILL)
+
+    # Neither survivor can finish: round 2's collectives lost a peer.
+    try:
+        ps[0].wait(timeout=25)
+        completed = out.exists()
+    except subprocess.TimeoutExpired:
+        completed = False
+    assert not completed, "survivors completed despite a dead peer"
+    for p in ps:
+        if p.poll() is None:
+            os.kill(p.pid, signal.SIGKILL)
+        p.wait()
+        p.stdout.close()
+
+    # Re-form the world from BOTH survivors (size 2) on a fresh
+    # coordinator; they resume from the checkpoint and finish round 2
+    # sharded across the re-formed 8-device mesh.
+    port2 = _free_port()
+    duo = [_spawn("duo_resume", port2, ckpt, out, pid) for pid in range(2)]
+    for p in duo:
+        stdout, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, stdout[-2000:]
+        assert "DONE" in stdout
+    poses = np.load(out)["poses"]
+    np.testing.assert_allclose(poses, reference_poses_48, atol=1e-3)

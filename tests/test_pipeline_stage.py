@@ -1,32 +1,63 @@
-"""Stage pipelining (PP): 2-stage extract|match pipeline over a `stage`
-mesh axis must reproduce the sequential front-end's match counts."""
+"""Stage pipelining (PP): the 3-stage extract|match|pose pipeline over a
+(stage, data) 2-D mesh must reproduce the sequential front-end's match
+counts and the unsharded pose path's inlier counts, at data widths 1 and 2
+(PP composed with DP — round-4 generalization of the 2-stage demo)."""
 
 import numpy as np
+import pytest
 
 import jax
+import jax.numpy as jnp
 
-from akaze_tpu.core.config import AkazeConfig, MatchConfig
+from akaze_tpu.core.config import AkazeConfig, MatchConfig, RansacConfig
 from akaze_tpu.frontend.pipeline import extract_batch
+from akaze_tpu.geometry.twoview import estimate_relative_pose, normalize_points
 from akaze_tpu.matching.hamming import match
-from akaze_tpu.parallel.pipeline_stage import make_stage_mesh, pipelined_match_counts
+from akaze_tpu.parallel.pipeline_stage import make_stage_mesh, pipelined_stream
 from akaze_tpu.utils.synthetic import video_sequence
 
 
-def test_pipelined_counts_match_sequential():
-    frames = video_sequence(6, 96, 128, seed=3)
-    cfg = AkazeConfig(max_keypoints=128, per_level_candidates=32,
-                      detector_threshold=1e-4)
-    mcfg = MatchConfig(max_distance=120)
-
-    mesh = make_stage_mesh(jax.devices()[:2])
-    got = pipelined_match_counts(frames, mesh, cfg, mcfg, microbatch=2)
-
+def _sequential_reference(frames, cfg, mcfg, rcfg, intr):
     feats = extract_batch(frames, cfg)
-    want = [0]
+    counts, inliers = [0], [0]
     for t in range(1, len(frames)):
         m = match(
             feats.descriptors[t - 1], feats.keypoints.valid[t - 1],
             feats.descriptors[t], feats.keypoints.valid[t], mcfg,
         )
-        want.append(int(m.count()))
-    np.testing.assert_array_equal(got, np.asarray(want))
+        counts.append(int(m.count()))
+        kp = feats.keypoints
+        x1 = normalize_points(kp.x[t - 1], kp.y[t - 1], intr)
+        x2 = normalize_points(kp.x[t][m.idx_b], kp.y[t][m.idx_b], intr)
+        key = jax.random.fold_in(jax.random.PRNGKey(rcfg.seed), t)
+        pose = estimate_relative_pose(x1, x2, m.accepted, rcfg, key=key)
+        inliers.append(int(pose.num_inliers))
+    return np.asarray(counts), np.asarray(inliers)
+
+
+@pytest.mark.parametrize("data", [1, 2])
+def test_pipelined_stream_matches_sequential(data):
+    frames = video_sequence(6, 96, 128, seed=3)
+    h, w = frames.shape[1:]
+    cfg = AkazeConfig(max_keypoints=128, per_level_candidates=32,
+                      detector_threshold=1e-4)
+    mcfg = MatchConfig(max_distance=120)
+    rcfg = RansacConfig(num_iterations=64)
+    intr = (float(w), float(w), w / 2.0, h / 2.0)
+
+    mesh = make_stage_mesh(jax.devices(), data=data)
+    got = pipelined_stream(
+        frames, mesh, cfg, mcfg, rcfg, microbatch=2, intr=intr
+    )
+    want_counts, want_inliers = _sequential_reference(
+        frames, cfg, mcfg, rcfg, intr
+    )
+    np.testing.assert_array_equal(got["match_counts"], want_counts)
+    # Pose inliers: same RANSAC keys, but XLA fuses the Sampson residuals
+    # differently inside the shard_map scan — f32 reassociation can flip a
+    # borderline-threshold inlier (measured: one +/-1 on one frame).
+    diff = np.abs(got["pose_inliers"] - want_inliers)
+    assert diff.max() <= 2, (got["pose_inliers"], want_inliers)
+    # Frames where the sequential path finds a solid pose must do so
+    # through the pipeline too.
+    assert (got["pose_inliers"][want_inliers >= 8] >= 6).all()
