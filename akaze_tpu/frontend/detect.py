@@ -225,26 +225,24 @@ def subpixel_from_fields(lvl, xi, yi, ox_field: jax.Array,
 
 def subpixel_from_fields_oct(lvl, xi, yi, oct_products,
                              statics: ScaleSpaceStatics):
-    """subpixel_from_fields over PER-OCTAVE (n, h, w) offset fields (one
-    frame): one gather per octave + masked select — same values as the
-    padded-stack gather without ever building the stack."""
-    from akaze_tpu.kernels.fed_pallas import octave_groups
+    """subpixel_from_fields over PER-OCTAVE (n, h, w) PACKED offset fields
+    (one frame): ONE int32 gather per octave + masked select — the round-3
+    version gathered separate f32 ox and oy planes (8 gathers across 4
+    octaves, ~1.9 ms of the 13 ms batch-16 device step); the packed field
+    (kernels/fed_pallas.pack_sub, 1/16000-px quantization) halves both the
+    gathers and the field write traffic."""
+    from akaze_tpu.kernels.fed_pallas import octave_groups, unpack_sub
 
-    ox = jnp.zeros(lvl.shape, jnp.float32)
-    oy = jnp.zeros(lvl.shape, jnp.float32)
-    nan_seen = jnp.zeros(lvl.shape, bool)
+    packed = jnp.full(lvl.shape, -1, jnp.int32)
     for (l0, n, h, w), prod in zip(octave_groups(statics), oct_products):
         sel = (lvl >= l0) & (lvl < l0 + n)
         li = jnp.clip(lvl - l0, 0, n - 1)
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
-        o_x = prod["ox"][li, yc, xc]
-        o_y = prod["oy"][li, yc, xc]
-        isnan = jnp.isnan(o_x)
-        ox = jnp.where(sel & ~isnan, o_x, ox)
-        oy = jnp.where(sel & ~isnan, o_y, oy)
-        nan_seen = nan_seen | (sel & isnan)
-    keep = jnp.logical_not(nan_seen)
+        packed = jnp.where(sel, prod["sub"][li, yc, xc], packed)
+    ox, oy, keep = unpack_sub(packed)
+    ox = jnp.where(keep, ox, 0.0)
+    oy = jnp.where(keep, oy, 0.0)
     ratios = jnp.asarray(statics.ratios)[lvl]
     xf = (xi.astype(jnp.float32) + ox) * ratios
     yf = (yi.astype(jnp.float32) + oy) * ratios
@@ -307,13 +305,19 @@ def detect(
         top_resp = jnp.pad(top_resp, (0, M - k), constant_values=_NEG)
         order = jnp.pad(order, (0, M - k))
 
-    def take(a):
-        return a.reshape(-1)[order]
-
+    # ONE gather for (level, yi, xi) of the selected candidates: the
+    # padded-plane tie key lvl*npx + yi*w0 + xi is a bijective encoding
+    # (npx*L < 2^31 for any realistic image), so three 16k-row gathers
+    # (each ~0.17 ms at batch 16 on v5e) collapse into one + cheap ALU.
+    npx = statics.h0 * statics.w0
+    w0 = statics.w0
     lvl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K))
-    class_id = take(lvl)
-    xi = take(cand["xi"])
-    yi = take(cand["yi"])
+    packed = lvl * jnp.int32(npx) + cand["flat"]
+    sel = packed.reshape(-1)[order]
+    class_id = sel // npx
+    rem = sel - class_id * npx
+    yi = rem // w0
+    xi = rem - yi * w0
 
     # Sub-pixel refinement AFTER selection, on the M winners only — the
     # reference order (golden/akaze.py:238): rejected fits are discarded

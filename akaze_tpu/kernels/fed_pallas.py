@@ -139,12 +139,49 @@ def _detector_chain(lsmooth, sigma_size):
     return lx * sf, ly * sf, ldet
 
 
+#: Sub-pixel offsets quantize to 1/16000 px halves of one int32 word
+#: (round 4): ONE packed field plane instead of two f32 planes halves the
+#: field write traffic AND halves the per-keypoint gathers in detect —
+#: the 8 separate 16k-row ox/oy gathers were ~1.9 ms of the 13 ms
+#: batch-16 device step.  Offsets are bounded (|o| <= 1 by the keep
+#: rule), so (o + 1) * 16000 fits 15 bits exactly; quantization error
+#: <= 1/32000 px, far below the 0.5 px parity gates.  Rejected fits pack
+#: as -1 (the old NaN sentinel).
+SUB_SCALE = 16000.0
+
+
+def pack_sub(ox, oy, keep):
+    """(ox, oy, keep) -> int32 packed field (qx * 65536 + qy; -1 = reject)."""
+    qx = jnp.round(
+        (jnp.clip(jnp.where(keep, ox, 0.0), -1.0, 1.0) + 1.0) * SUB_SCALE
+    ).astype(jnp.int32)
+    qy = jnp.round(
+        (jnp.clip(jnp.where(keep, oy, 0.0), -1.0, 1.0) + 1.0) * SUB_SCALE
+    ).astype(jnp.int32)
+    return jnp.where(keep, qx * 65536 + qy, -1)
+
+
+def unpack_sub(packed):
+    """int32 packed field values -> (ox, oy, keep)."""
+    keep = packed >= 0
+    p = jnp.maximum(packed, 0)
+    qx = p // 65536
+    qy = p - qx * 65536
+    inv = jnp.float32(1.0 / SUB_SCALE)
+    return (
+        qx.astype(jnp.float32) * inv - 1.0,
+        qy.astype(jnp.float32) * inv - 1.0,
+        keep,
+    )
+
+
 def _score_fields_chain(ldet, border, threshold):
-    """In-kernel candidate scores + sub-pixel offset fields for one level
-    (f, h, w) — the same construction as _dense_score_fields, computed on
-    the VMEM-resident ldet (round 3: the XLA pass over the per-octave ldet
-    stacks was ~3-5 ms/batch16 of fusion traffic, and folding it here also
-    removes the ldet HBM round trip entirely on the with_detect path)."""
+    """In-kernel candidate scores + PACKED sub-pixel offset field for one
+    level (f, h, w) — the same construction as _dense_score_fields, computed
+    on the VMEM-resident ldet (round 3: the XLA pass over the per-octave
+    ldet stacks was ~3-5 ms/batch16 of fusion traffic, and folding it here
+    also removes the ldet HBM round trip entirely on the with_detect
+    path)."""
     h, w = ldet.shape[-2], ldet.shape[-1]
     n_e, n_w = _shift_x(ldet, 1), _shift_x(ldet, -1)
     n_s, n_n = _shift_y(ldet, 1), _shift_y(ldet, -1)
@@ -172,8 +209,7 @@ def _score_fields_chain(ldet, border, threshold):
     ox = (-dxv * dyy + dyv * dxy) / safe_det
     oy = (-dyv * dxx + dxv * dxy) / safe_det
     keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
-    nan = jnp.float32(jnp.nan)
-    return score, jnp.where(keep, ox, nan), jnp.where(keep, oy, nan)
+    return score, pack_sub(ox, oy, keep)
 
 
 def _level_kernel(k_ref, seed_ref, lt_out, lx_out, ly_out, ldet_out,
@@ -246,7 +282,7 @@ def fused_level(seed, k, spec, diffusivity, first_level=False):
 
 
 def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f,
-                   with_detect, threshold):
+                   with_detect, threshold, with_half=False):
     """One program running ALL levels of one octave for `f` frames chained
     in VMEM: each level's Lt seeds the next without an HBM round trip.
     Outputs are level-major (n, f, h, w) blocks of the per-octave
@@ -286,54 +322,91 @@ def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f,
         out_refs[1][li] = lx
         out_refs[2][li] = ly
         if with_detect:
-            score, ox, oy = _score_fields_chain(
+            score, sub = _score_fields_chain(
                 ldet, int(spec.border), threshold
             )
             out_refs[3][li] = score
-            out_refs[4][li] = ox
-            out_refs[5][li] = oy
+            out_refs[4][li] = sub
         else:
             out_refs[3][li] = ldet
+    if with_half:
+        # Next octave's seed: 2x2 box mean of the final Lt, computed here
+        # on the VMEM-resident plane via exact pair-averaging matmuls
+        # (0.5/0.25 are powers of two, so each product is exact f32; only
+        # ulp-level association differs from frontend.scale_space.half_size).
+        # Emitting the seed from the kernel removes the XLA slice + two
+        # relayout copies (~0.5 ms/batch16 in the round-4 trace).
+        h, w = x.shape[-2], x.shape[-1]
+        h2, w2 = h // 2, w // 2
+        ri = jax.lax.broadcasted_iota(jnp.int32, (h2, h), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (h2, h), 1)
+        dh = ((ci == 2 * ri) | (ci == 2 * ri + 1)).astype(jnp.float32) * 0.5
+        rw = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 0)
+        cw = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 1)
+        dwT = ((rw == 2 * cw) | (rw == 2 * cw + 1)).astype(jnp.float32) * 0.5
+        for j in range(f):
+            t = jnp.dot(dh, x[j], preferred_element_type=jnp.float32)
+            out_refs[-1][j] = jnp.dot(t, dwT, preferred_element_type=jnp.float32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("specs", "diffusivity", "first", "f", "with_detect", "threshold"),
+    static_argnames=(
+        "specs", "diffusivity", "first", "f", "with_detect", "threshold",
+        "with_half",
+    ),
 )
 def fused_octave_batched(
     seed, k, specs, diffusivity: Diffusivity, first: bool, f: int = 1,
     with_detect: bool = False, threshold: float = 0.0,
+    with_half: bool = False,
 ):
     """Run one whole octave for a batch of frames with `f` frames per
     program (f must divide B), levels chained in VMEM.  Returns LEVEL-MAJOR
     (n_levels, B, h, w) stacks written directly by the kernel's out_specs
     (no copy): (lt, lx, ly, ldet), or with_detect=True
-    (lt, lx, ly, score, ox, oy) — the detect fields are computed in-kernel
-    on the VMEM-resident ldet, which is then never written to HBM at all."""
+    (lt, lx, ly, score, sub) — the detect fields are computed in-kernel
+    on the VMEM-resident ldet, which is then never written to HBM at all;
+    `sub` is the PACKED int32 sub-pixel field (see pack_sub).
+    with_half=True appends the NEXT octave's seed (b, h//2, w//2) — the
+    2x2 box mean of the final Lt, computed in-kernel."""
     b, h, w = seed.shape
     assert b % f == 0
     n = len(specs)
-    n_out = 6 if with_detect else 4
+    n_out = 5 if with_detect else 4
     kernel = functools.partial(
         _octave_kernel, specs=specs, diffusivity=diffusivity, first=first,
         f=f, with_detect=with_detect, threshold=float(threshold),
+        with_half=with_half,
     )
+    out_specs = [
+        pl.BlockSpec(
+            (n, f, h, w), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    ] * n_out
+    out_shape = [jax.ShapeDtypeStruct((n, b, h, w), jnp.float32)] * n_out
+    if with_detect:
+        out_shape[4] = jax.ShapeDtypeStruct((n, b, h, w), jnp.int32)
+    if with_half:
+        h2, w2 = h // 2, w // 2
+        out_specs.append(
+            pl.BlockSpec(
+                (f, h2, w2), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, h2, w2), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // f,),
         in_specs=[
             pl.BlockSpec((f, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (n, f, h, w), lambda i, *_: (0, i, 0, 0), memory_space=pltpu.VMEM
-            )
-        ] * n_out,
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, b, h, w), jnp.float32)] * n_out,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -410,12 +483,12 @@ _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
 
 def _dense_score_fields(ldet, border, threshold):
-    """XLA dense candidate scores + sub-pixel offset fields at native
+    """XLA dense candidate scores + PACKED sub-pixel offset field at native
     (..., h, w) resolution — same construction as kernels/detect_pallas
     (strict 3x3 max + threshold + static interior bounds; 2-var quadratic
-    fit with rejected fits encoded as NaN).  Candidates are strictly
-    interior (border >= 1), so edge-replicate vs padded-stack shift
-    semantics can never differ on a selected site.
+    fit with rejected fits packed as -1; see pack_sub).  Candidates are
+    strictly interior (border >= 1), so edge-replicate vs padded-stack
+    shift semantics can never differ on a selected site.
 
     border: scalar for one level, or an (n,) array for a level-major
     (n, B, h, w) octave stack (per-level interior bounds)."""
@@ -455,8 +528,7 @@ def _dense_score_fields(ldet, border, threshold):
     ox = (-dxv * dyy + dyv * dxy) / safe_det
     oy = (-dyv * dxx + dxv * dxy) / safe_det
     keep = (jnp.abs(det) >= 1e-30) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
-    nan = jnp.float32(jnp.nan)
-    return score, jnp.where(keep, ox, nan), jnp.where(keep, oy, nan)
+    return score, pack_sub(ox, oy, keep)
 
 
 def _xla_octave(seed, k, ospecs, config, first):
@@ -501,7 +573,7 @@ def build_scale_space_pallas_batched(
     Mosaic kernel (deep octaves are issue-bound there — see the constant).
 
     with_detect=True additionally returns the fused detect products
-    ("score", "ox", "oy" stacks, computed in XLA at native resolution right
+    ("score" + packed "sub" stacks, computed in XLA at native resolution right
     off each octave's outputs) — this replaces the separate per-(frame,
     level) detect_scores_pallas pass and its padded-stack HBM round trip."""
     from akaze_tpu.frontend.scale_space import (
@@ -528,10 +600,14 @@ def build_scale_space_pallas_batched(
             octaves.append((spec.octave, []))
         octaves[-1][1].append(spec)
     oct_levels = []  # per octave: (lt, lx, ly, ldet), each (n, B, h, w)
-    oct_fields = []  # per octave: (score, ox, oy), each (n, B, h, w)
+    oct_fields = []  # per octave: (score f32, sub i32), each (n, B, h, w)
+    next_seed = None  # in-kernel half-size output of the previous octave
     for oi, (_, ospecs) in enumerate(octaves):
         if oi > 0:
-            seed = half_size(oct_levels[-1][0][-1])
+            seed = (
+                next_seed if next_seed is not None
+                else half_size(oct_levels[-1][0][-1])
+            )
             k = k * config.contrast_octave_decay
         if oi < pallas_octaves:
             # Deep octaves are per-op-issue-bound in Mosaic (an 80x60 level
@@ -551,15 +627,21 @@ def build_scale_space_pallas_batched(
             f = max(1, deep_f) if oi >= 2 else 1
             while seed.shape[0] % f:
                 f -= 1
+            with_half = oi + 1 < len(octaves)
             outs = fused_octave_batched(
                 seed, k, tuple(ospecs), config.diffusivity, first=(oi == 0),
                 f=f, with_detect=with_detect,
                 threshold=float(config.detector_threshold),
+                with_half=with_half,
             )
+            next_seed = outs[-1] if with_half else None
+            if with_half:
+                outs = outs[:-1]
             oct_levels.append(outs[:3] + (None,) if with_detect else outs)
             if with_detect:
                 oct_fields.append(outs[3:])
         else:
+            next_seed = None  # XLA octaves emit no half-size output
             outs = _xla_octave(seed, k, ospecs, config, first=(oi == 0))
             oct_levels.append(outs)
             if with_detect:
@@ -584,7 +666,7 @@ def build_scale_space_pallas_batched(
     }
     if with_detect:
         out["oct"] = tuple(
-            {"score": f0, "ox": f1, "oy": f2} for (f0, f1, f2) in oct_fields
+            {"score": f0, "sub": f1} for (f0, f1) in oct_fields
         )
     else:
         # Compat contract for the parity tests: padded level-major /

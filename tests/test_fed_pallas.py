@@ -80,7 +80,17 @@ def test_with_detect_matches_detect_pallas():
     cand = np.asarray(scores) > -1e38
     assert cand.sum() > 10  # the scene must actually produce candidates
     ox_ref, oy_ref = np.asarray(ox), np.asarray(oy)
-    ox_got = np.asarray(restack("ox", np.nan))
-    oy_got = np.asarray(restack("oy", np.nan))
-    np.testing.assert_allclose(ox_got[cand], ox_ref[cand], atol=2e-5, equal_nan=True)
-    np.testing.assert_allclose(oy_got[cand], oy_ref[cand], atol=2e-5, equal_nan=True)
+    # The builder's field is the PACKED int32 form (round 4): unpack and
+    # compare at the 1/16000-px quantization tolerance; NaN in the
+    # reference corresponds to a rejected (keep=False) packed slot.
+    from akaze_tpu.kernels.fed_pallas import unpack_sub
+
+    packed = np.asarray(restack("sub", -1)).astype(np.int32)
+    ox_got, oy_got, keep = jax.tree.map(
+        np.asarray, unpack_sub(jnp.asarray(packed))
+    )
+    ref_keep = ~np.isnan(ox_ref)
+    np.testing.assert_array_equal(keep[cand], ref_keep[cand])
+    both = cand & keep
+    np.testing.assert_allclose(ox_got[both], ox_ref[both], atol=1e-4)
+    np.testing.assert_allclose(oy_got[both], oy_ref[both], atol=1e-4)
