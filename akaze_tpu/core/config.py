@@ -79,9 +79,10 @@ class AkazeConfig:
     # as trace-time OVERRIDES for A/B tooling only — see _env_override). ----
     # Octaves 0..N-1 run the fused Mosaic kernel chain; deeper octaves run
     # XLA convs.  Round 3: 4 (all Mosaic) + deep_octave_frames=8 measured
-    # 19.5 -> 18.6 ms/batch16 over the round-2 split of 3, and the Mosaic
-    # chain is the parity-faithful side (the all-XLA path drifts ~22
-    # Hamming bits vs golden — BASELINE.md attribution table).
+    # 19.5 -> 18.6 ms/batch16 over the round-2 split of 3.  Since round
+    # 4's conv-precision fix BOTH sides are parity-faithful (all-XLA split
+    # 0 measures Hamming mean 1.47 vs golden — BASELINE.md attribution
+    # table); 4 remains the measured-fastest split.
     pallas_octaves: int = 4
     # Patch fetch: "pallas" pipelined DMA gather / "xla" vmapped
     # dynamic_slice / "auto" = pallas on TPU.
@@ -181,11 +182,12 @@ class SfmConfig:
     the problem and a config cap would only mislead."""
 
     ba_iterations: int = 10
-    # Observations per point packed into the fixed-shape BA problem (the
-    # earliest Q keyframes observing each track; extra observations are
-    # dropped).  Bounds BA cost linearly in Q.  Measured at the 200 kf /
-    # 5 k pt bench scale: Q=16 changes ATE negligibly vs Q=8 at ~Q-
-    # proportional BA cost — see BASELINE.md round-4 Q-cap A/B note.
+    # Observations per point packed into the fixed-shape BA problem (Q
+    # keyframes SPREAD evenly across each track — first + last + evenly
+    # between; extra observations are dropped).  Bounds BA cost linearly
+    # in Q.  Measured at 200 kf / 5 k pts (BASELINE.md round-4 Q-cap A/B):
+    # Q=8 → 9.2 kf/s, ATE 0.30; Q=16 → 4.4 kf/s, ATE 0.031 — raise to 16
+    # when long-trajectory accuracy matters more than BA throughput.
     ba_obs_per_point: int = 8
     # Levenberg-Marquardt damping bounds.
     lm_lambda_init: float = 1e-3

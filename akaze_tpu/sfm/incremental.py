@@ -62,9 +62,19 @@ def refine_pose_pnp(
     pose6: jax.Array, points: jax.Array, uv: jax.Array, valid: jax.Array,
     iterations: int = 10,
 ) -> jax.Array:
-    """Single-pose refinement from 2D-3D correspondences (device LM).
+    """Single-pose refinement from 2D-3D correspondences (device IRLS-LM).
 
-    pose6 (6,), points (N, 3), uv (N, 2) normalized, valid (N,)."""
+    pose6 (6,), points (N, 3), uv (N, 2) normalized, valid (N,).
+
+    Round 4: the original plain Gauss-Newton (squared loss, no step
+    guard) diverged on the 200-keyframe bench — a handful of bad map
+    points (small-parallax triangulations) could yank the pose, and one
+    divergent window cascaded the whole trajectory to NaN.  Now each
+    iteration (a) Huber-downweights residuals (delta = 0.01 normalized
+    units, ~10x the obs noise), (b) damps the normal equations, and (c)
+    REJECTS steps that do not reduce the robust cost — so the refinement
+    can never leave the warm start worse than it found it."""
+    huber = jnp.float32(0.01)
 
     def residuals(p):
         r = rotvec_to_matrix(p[:3])
@@ -73,14 +83,36 @@ def refine_pose_pnp(
         res = jnp.stack([xc[:, 0] / z - uv[:, 0], xc[:, 1] / z - uv[:, 1]], -1)
         return (res * valid[:, None]).reshape(-1)
 
-    def step(p, _):
-        r = residuals(p)
-        j = jax.jacfwd(residuals)(p)  # (2N, 6)
-        h = j.T @ j + 1e-6 * jnp.eye(6)
-        delta = -jnp.linalg.solve(h, j.T @ r)
-        return p + delta, jnp.sum(r * r)
+    def robust_w(r):
+        """Per-correspondence Huber IRLS weights, expanded to residuals."""
+        n = jnp.linalg.norm(r.reshape(-1, 2), axis=-1)
+        w = jnp.minimum(1.0, huber / jnp.maximum(n, 1e-12))
+        return jnp.repeat(w, 2)
 
-    pose6, _ = jax.lax.scan(step, pose6, None, length=iterations)
+    def cost(p):
+        r = residuals(p)
+        return jnp.sum(robust_w(r) * r * r)
+
+    def step(state, _):
+        p, c, lam = state
+        r = residuals(p)
+        w = robust_w(r)
+        j = jax.jacfwd(residuals)(p)  # (2N, 6)
+        jw = j * w[:, None]
+        h = jw.T @ j + (lam + 1e-6) * jnp.eye(6)
+        delta = -jnp.linalg.solve(h, jw.T @ r)
+        cand = p + delta
+        c_new = cost(cand)
+        accept = jnp.isfinite(c_new) & (c_new < c)
+        p = jnp.where(accept, cand, p)
+        c = jnp.where(accept, c_new, c)
+        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-8, 1e3)
+        return (p, c, lam), None
+
+    (pose6, _, _), _ = jax.lax.scan(
+        step, (pose6, cost(pose6), jnp.float32(1e-5)), None,
+        length=iterations,
+    )
     return pose6
 
 
@@ -132,7 +164,21 @@ def _window_superstep(
         xb = jnp.concatenate([uvb, ones], axis=-1)
         local = triangulate(r_rel, t_rel, xa, xb)  # cam_{k-1} frame
         world = (local - poses[k - 1, 3:]) @ ra
-        ok = (local[:, 2] > 0) & (tw > 0) & jnp.logical_not(valid[trows])
+        # Parallax gate (round 4): the rotation-compensated ray angle must
+        # clear ~0.17 deg — near-zero-parallax pairs triangulate to wildly
+        # wrong depths under observation noise, and those map points were
+        # what eventually broke PnP on long trajectories (200 kf bench).
+        # Both-view positive depth for the same reason.
+        ray_a = xa / jnp.linalg.norm(xa, axis=-1, keepdims=True)
+        ray_b = xb @ r_rel  # cam_b ray expressed in cam_{k-1} axes
+        ray_b = ray_b / jnp.linalg.norm(ray_b, axis=-1, keepdims=True)
+        cosang = jnp.clip(jnp.sum(ray_a * ray_b, axis=-1), -1.0, 1.0)
+        parallax_ok = cosang < jnp.float32(np.cos(3e-3))
+        zb = (local @ r_rel.T + t_rel)[:, 2]
+        ok = (
+            (local[:, 2] > 0) & (zb > 0) & parallax_ok
+            & (tw > 0) & jnp.logical_not(valid[trows])
+        )
         points = points.at[trows].set(
             jnp.where(ok[:, None], world, points[trows])
         )
@@ -507,13 +553,21 @@ def _run_ba(poses, points, observations, track_point, num_kf, sconfig, mesh):
     obs_valid = np.zeros((P, Q), bool)
     for ti, row in track_point.items():
         tr = observations[ti]
-        q = 0
-        for f, uv in sorted(tr.items()):
-            if f < num_kf and q < Q:
-                obs_cam[row, q] = f
-                obs_uv[row, q] = uv
-                obs_valid[row, q] = True
-                q += 1
+        frames = [f for f in sorted(tr) if f < num_kf]
+        # Q observations SPREAD evenly across the track (always including
+        # its first and last visible keyframe), not the Q earliest (round
+        # 4): earliest-only froze every point's geometry to a short early
+        # window, so later cameras PnP'd against stale structure and scale
+        # drift compounded down the trajectory (the 200 kf divergence).
+        # The spread keeps the long-baseline constraints in the problem at
+        # the same O(Q) cost.
+        if len(frames) > Q:
+            idx = np.round(np.linspace(0, len(frames) - 1, Q)).astype(int)
+            frames = [frames[i] for i in dict.fromkeys(idx)]
+        for q, f in enumerate(frames):
+            obs_cam[row, q] = f
+            obs_uv[row, q] = tr[f]
+            obs_valid[row, q] = True
     fixed = np.zeros(len(poses), bool)
     # Gauge: pose 0 pins the frame (6 dof).  The monocular scale gauge is
     # left to LM damping rather than freezing pose 1 — a frozen pose 1

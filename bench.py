@@ -150,10 +150,13 @@ def bench_two_view() -> None:
     # DISTINCT pre-uploaded frame sets per rep + a scalar host transfer per
     # rep: with one reused input the round-3 pure-jnp RANSAC measured an
     # impossible 77k pairs/s (tunnel result reuse) — see BASELINE.md.
-    # P=32 (64 frames/dispatch, the headline batch): round 3 ran P=8 and was
-    # ~87% dispatch overhead (2.7 ms device / 21.8 ms wall per RANSAC
-    # stage); batching amortizes it (round-4 verdict item 5).
-    P = 32
+    # P=16 (32 frames/dispatch): round 3 ran P=8 and was ~87% dispatch
+    # overhead (2.7 ms device / 21.8 ms wall per RANSAC stage); batching
+    # amortizes it (round-4 verdict item 5).  P=32 was tried first and its
+    # extract+match program HUNG the remote compile service twice (>40 min,
+    # no abort, no result — same family as the batch-64 variant compile
+    # aborts, BASELINE.md round-4 notes); P=16 compiles.
+    P = 16
     frame_sets = [
         jnp.asarray(video_sequence(2 * P, 480, 640, seed=s)) for s in (1, 2, 3)
     ]
