@@ -249,13 +249,13 @@ def bench_conductivity() -> None:
     from akaze_tpu.frontend.pipeline import extract_batch_fn
     from akaze_tpu.utils.synthetic import video_sequence
 
-    # Batch 16, not the headline's 64: the remote Mosaic/XLA compile service
-    # intermittently ABORTS on the variant pipelines at batch 64 (g2@64 and
-    # g1@16 both compile and run; reproduced 3x on 2026-08-19).  Batch 16
-    # costs ~4% fps vs 64 on the headline, so variant ratios remain
-    # comparable.  DISTINCT pre-uploaded inputs per rep: one reused input
-    # measured an impossible 220k fps (tunnel result reuse).
-    batch = 16
+    # Batch 64 like the headline (round 4): the round-3 batch-64 variant
+    # compile ABORTS are gone at the round-4 kernels (verified with
+    # tools/repro_compile_abort.py — g1_64/w_64 both compile), and batch
+    # 64 measured g1 860 -> 1237 fps / Weickert 637 -> 1259 fps over the
+    # batch-16 pin.  DISTINCT pre-uploaded inputs per rep: one reused
+    # input measured an impossible 220k fps (tunnel result reuse).
+    batch = 64
     frame_sets = [
         jnp.asarray(video_sequence(batch, 480, 640, seed=s)) for s in (0, 1, 2)
     ]
