@@ -150,13 +150,15 @@ def bench_two_view() -> None:
     # DISTINCT pre-uploaded frame sets per rep + a scalar host transfer per
     # rep: with one reused input the round-3 pure-jnp RANSAC measured an
     # impossible 77k pairs/s (tunnel result reuse) — see BASELINE.md.
-    # P=16 (32 frames/dispatch): round 3 ran P=8 and was ~87% dispatch
-    # overhead (2.7 ms device / 21.8 ms wall per RANSAC stage); batching
-    # amortizes it (round-4 verdict item 5).  P=32 was tried first and its
-    # extract+match program HUNG the remote compile service twice (>40 min,
-    # no abort, no result — same family as the batch-64 variant compile
-    # aborts, BASELINE.md round-4 notes); P=16 compiles.
-    P = 16
+    # P=32 (64 frames/dispatch, the headline batch): round 3 ran P=8 and
+    # was ~87% dispatch overhead (2.7 ms device / 21.8 ms wall per RANSAC
+    # stage); batching amortizes it (round-4 verdict item 5).  Measured
+    # 500 pairs/s at P=16 and 540 at P=32 (tools/bench_twoview.py).  The
+    # P=32 program HUNG the remote compile service twice at the PRE-fix
+    # round-4 tree (>40 min, no abort); at the current kernels it compiles
+    # in ~5 min (verified twice — tools/repro_compile_abort.py twoview_32
+    # and the bench_twoview run), like the other round-3 known-bad shapes.
+    P = 32
     frame_sets = [
         jnp.asarray(video_sequence(2 * P, 480, 640, seed=s)) for s in (1, 2, 3)
     ]
