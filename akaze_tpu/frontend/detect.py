@@ -53,8 +53,8 @@ def find_candidates(ldet: jax.Array, statics: ScaleSpaceStatics, scores=None):
     w0 = statics.w0
     if scores is None:
         # Portable XLA score construction.  The batched pipeline passes
-        # precomputed scores from kernels/detect_pallas instead (the fused
-        # kernel must ride a native grid, not jax.vmap — see that module).
+        # precomputed per-octave scores instead (computed inside the fused
+        # octave kernels / _dense_score_fields — see kernels/fed_pallas).
         nmax = _neighbor_max_3x3(ldet)
         cand = (
             (ldet > cfg.detector_threshold)
@@ -282,7 +282,7 @@ def detect(
     """Full detection: candidates -> NMS -> sub-pixel -> global top-K SoA.
 
     scores/subpix: optional precomputed candidate scores and dense (ox, oy)
-    sub-pixel fields from kernels/detect_pallas (the fused TPU path);
+    sub-pixel fields (from kernels/fed_pallas's score-field constructions);
     cand: optional precomputed candidate dict (find_candidates_batched /
     find_candidates_oct); subpix_oct: per-octave detect products from the
     with_detect builder (ldet may be None when cand and a subpix source are
@@ -306,10 +306,16 @@ def detect(
         order = jnp.pad(order, (0, M - k))
 
     # ONE gather for (level, yi, xi) of the selected candidates: the
-    # padded-plane tie key lvl*npx + yi*w0 + xi is a bijective encoding
-    # (npx*L < 2^31 for any realistic image), so three 16k-row gathers
-    # (each ~0.17 ms at batch 16 on v5e) collapse into one + cheap ALU.
+    # padded-plane tie key lvl*npx + yi*w0 + xi is a bijective encoding,
+    # so three 16k-row gathers (each ~0.17 ms at batch 16 on v5e) collapse
+    # into one + cheap ALU.
     npx = statics.h0 * statics.w0
+    # Static-shape overflow guard (round-4 advisor): the packed int32 key
+    # silently corrupts coords once npx * L >= 2^31 (~8.4 MP padded plane
+    # at L = 16).  All quantities are trace-time Python ints.
+    assert npx * L < 2**31, (
+        f"packed candidate key overflows int32: {npx} px * {L} levels"
+    )
     w0 = statics.w0
     lvl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K))
     packed = lvl * jnp.int32(npx) + cand["flat"]

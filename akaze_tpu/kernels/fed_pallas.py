@@ -344,9 +344,15 @@ def _octave_kernel(k_ref, seed_ref, *out_refs, specs, diffusivity, first, f,
         rw = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 0)
         cw = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 1)
         dwT = ((rw == 2 * cw) | (rw == 2 * cw + 1)).astype(jnp.float32) * 0.5
+        # precision=HIGHEST: without it a Mosaic lowering below full f32
+        # would drift every deeper octave's seed (the same class as the
+        # round-4 conv-precision bug, BASELINE.md) — the "exact f32" claim
+        # above requires full-precision multiplies (round-4 advisor).
         for j in range(f):
-            t = jnp.dot(dh, x[j], preferred_element_type=jnp.float32)
-            out_refs[-1][j] = jnp.dot(t, dwT, preferred_element_type=jnp.float32)
+            t = jnp.dot(dh, x[j], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            out_refs[-1][j] = jnp.dot(t, dwT, preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(
@@ -484,9 +490,10 @@ _NEG = -3.0e38  # candidate-score sentinel (same as frontend/detect)
 
 def _dense_score_fields(ldet, border, threshold):
     """XLA dense candidate scores + PACKED sub-pixel offset field at native
-    (..., h, w) resolution — same construction as kernels/detect_pallas
-    (strict 3x3 max + threshold + static interior bounds; 2-var quadratic
-    fit with rejected fits packed as -1; see pack_sub).  Candidates are
+    (..., h, w) resolution — same construction as the in-kernel
+    _score_fields_chain (strict 3x3 max + threshold + static interior
+    bounds; 2-var quadratic fit with rejected fits packed as -1; see
+    pack_sub).  Candidates are
     strictly interior (border >= 1), so edge-replicate vs padded-stack
     shift semantics can never differ on a selected site.
 
@@ -573,9 +580,10 @@ def build_scale_space_pallas_batched(
     Mosaic kernel (deep octaves are issue-bound there — see the constant).
 
     with_detect=True additionally returns the fused detect products
-    ("score" + packed "sub" stacks, computed in XLA at native resolution right
-    off each octave's outputs) — this replaces the separate per-(frame,
-    level) detect_scores_pallas pass and its padded-stack HBM round trip."""
+    ("score" + packed "sub" stacks — in-kernel for Mosaic octaves, XLA
+    `_dense_score_fields` at native resolution for deep octaves), replacing
+    the round-2 separate per-(frame, level) detect pass and its
+    padded-stack HBM round trip."""
     from akaze_tpu.frontend.scale_space import (
         compute_contrast_factor, contrast_factor_from_modg, gaussian_blur,
         half_size, stack_levels,

@@ -20,8 +20,13 @@ stage work (genuinely different compute per mesh row), activations hand
 off stage s -> s+1 with `lax.ppermute` along the `stage` axis (one edge
 per data lane, riding ICI), and per-stage outputs combine with `psum`.
 With S stages the scan runs T + (S-1) steps for T microbatches (the usual
-pipeline bubble); steady-state throughput approaches the slowest stage
-instead of the stage sum.  The reference has no counterpart
+pipeline bubble).  DESIGN INTENT, not measured behavior: steady-state
+throughput should approach the slowest stage instead of the stage sum —
+this environment has one real chip, so pipeline *timing* is unmeasurable
+here (a virtual CPU mesh shares one socket's cores and proves nothing
+about stage overlap; see BASELINE.md "Scaling efficiency report").  What
+IS verified: output parity with the sequential path at data widths 1 and 2
+(tests/test_pipeline_stage.py).  The reference has no counterpart
 (single-threaded CPU library); the default video path (matching/video.py)
 instead fuses all stages into one device program — this module is the
 multi-chip streaming variant.
@@ -274,7 +279,11 @@ def pipelined_match_counts(
     mconfig: MatchConfig | None = None,
     microbatch: int = 2,
 ) -> np.ndarray:
-    """Consecutive-frame match counts via the pipeline (compat wrapper)."""
+    """Consecutive-frame match counts via the pipeline (compat wrapper).
+
+    NOTE (round 4): the pipeline grew from 2 stages to NUM_STAGES = 3, so
+    `mesh` now needs >= NUM_STAGES * data devices — round-3 callers on
+    2-device meshes fail make_stage_mesh's device-count assert."""
     return pipelined_stream(
         frames, mesh, config, mconfig, microbatch=microbatch
     )["match_counts"]

@@ -37,60 +37,62 @@ def test_fed_pallas_matches_xla(diff):
         )
 
 
-def test_with_detect_matches_detect_pallas():
-    """Fused-into-build detect fields == the standalone Pallas detect pass.
+def test_with_detect_matches_xla_score_fields():
+    """Fused-into-build detect fields == the XLA `_dense_score_fields`
+    construction on the same native-resolution Ldet planes.
 
-    Scores must agree exactly everywhere (interior-masked, sentinel
-    elsewhere); ox/oy are compared at candidate sites only — candidates are
-    strictly interior (border >= 1) so both layouts see identical 3x3
-    neighborhoods there, while non-candidate boundary pixels legitimately
-    differ (padded-stack vs native-resolution edge replication)."""
-    from akaze_tpu.kernels.detect_pallas import detect_scores_pallas
+    (Round 5: this cross-check previously ran against the standalone
+    kernels/detect_pallas pass, deleted per the wired-and-winning-or-gone
+    rule — production detect fields moved in-kernel in round 3, leaving it
+    unwired.  The XLA construction is the surviving second implementation.)
 
+    Scores must agree to f32 tolerance everywhere (interior-masked,
+    sentinel elsewhere); the packed sub-pixel fields are unpacked and
+    compared at candidate sites only — candidates are strictly interior
+    (border >= 1), so both constructions see identical 3x3 neighborhoods
+    there."""
     cfg = AkazeConfig()
     imgs = np.stack(
         [textured_scene(96, 128, seed=s) for s in (2, 3)]
     ).astype(np.float32)
     st = ScaleSpaceStatics(128, 96, cfg)
-    from akaze_tpu.frontend.scale_space import build_scale_space, stack_levels
-    from akaze_tpu.kernels.fed_pallas import octave_groups
+    from akaze_tpu.kernels.fed_pallas import (
+        _dense_score_fields, octave_groups, unpack_sub,
+    )
 
     with pltpu.force_tpu_interpret_mode():
         full = jax.jit(
             lambda im: build_scale_space_pallas_batched(im, st, with_detect=True)
         )(jnp.asarray(imgs))
-        ldet = jax.jit(
+        nodet = jax.jit(
             lambda im: build_scale_space_pallas_batched(im, st)
-        )(jnp.asarray(imgs))["Ldet"]
-        scores, ox, oy = detect_scores_pallas(ldet, st)
+        )(jnp.asarray(imgs))["Ldet"]  # padded (B, L, H0, W0) stack
 
-    def restack(key, fill):
-        # Round 3: the builder emits per-octave native-resolution products;
-        # pad+stack them here only for the comparison.
-        levels = []
-        for (l0, n, _, _), prod in zip(octave_groups(st), full["oct"]):
-            for i in range(n):
-                levels.append(prod[key][i])  # level-major (n, B, h, w)
-        return stack_levels(levels, st.specs, fill=fill)
-
-    np.testing.assert_allclose(
-        np.asarray(restack("score", -3.0e38)), np.asarray(scores),
-        atol=2e-6, rtol=1e-6,
-    )
-    cand = np.asarray(scores) > -1e38
-    assert cand.sum() > 10  # the scene must actually produce candidates
-    ox_ref, oy_ref = np.asarray(ox), np.asarray(oy)
-    # The builder's field is the PACKED int32 form (round 4): unpack and
-    # compare at the 1/16000-px quantization tolerance; NaN in the
-    # reference corresponds to a rejected (keep=False) packed slot.
-    from akaze_tpu.kernels.fed_pallas import unpack_sub
-
-    packed = np.asarray(restack("sub", -1)).astype(np.int32)
-    ox_got, oy_got, keep = jax.tree.map(
-        np.asarray, unpack_sub(jnp.asarray(packed))
-    )
-    ref_keep = ~np.isnan(ox_ref)
-    np.testing.assert_array_equal(keep[cand], ref_keep[cand])
-    both = cand & keep
-    np.testing.assert_allclose(ox_got[both], ox_ref[both], atol=1e-4)
-    np.testing.assert_allclose(oy_got[both], oy_ref[both], atol=1e-4)
+    thr = float(cfg.detector_threshold)
+    checked_cands = 0
+    for (l0, n, h, w), prod in zip(octave_groups(st), full["oct"]):
+        for i in range(n):
+            spec = st.specs[l0 + i]
+            # Native-resolution Ldet slice for this level, from the
+            # no-detect builder (whose Ldet stack is parity-tested vs the
+            # XLA scale space in test_fed_pallas_matches_xla).
+            ldet_l = nodet[:, l0 + i, :h, :w]
+            score_ref, sub_ref = jax.jit(
+                lambda x, b=int(spec.border): _dense_score_fields(x, b, thr)
+            )(ldet_l)
+            score_got = np.asarray(prod["score"][i])  # (B, h, w)
+            np.testing.assert_allclose(
+                score_got, np.asarray(score_ref), atol=2e-6, rtol=1e-6,
+                err_msg=f"level {l0 + i} score",
+            )
+            cand = score_got > -1e38
+            checked_cands += int(cand.sum())
+            ox_r, oy_r, keep_r = jax.tree.map(np.asarray, unpack_sub(sub_ref))
+            ox_g, oy_g, keep_g = jax.tree.map(
+                np.asarray, unpack_sub(prod["sub"][i])
+            )
+            np.testing.assert_array_equal(keep_g[cand], keep_r[cand])
+            both = cand & keep_g
+            np.testing.assert_allclose(ox_g[both], ox_r[both], atol=1e-4)
+            np.testing.assert_allclose(oy_g[both], oy_r[both], atol=1e-4)
+    assert checked_cands > 10  # the scene must actually produce candidates

@@ -184,6 +184,28 @@ def _free_port():
     return port
 
 
+def _await_line(proc, needle, timeout=240.0):
+    """Wait until `needle` appears in a line of proc's stdout, with the
+    deadline enforced even when the child emits NOTHING: select() gates
+    each readline so a wedged child can't block the loop forever (a bare
+    readline never re-checks the deadline — round-4 advisor)."""
+    import select
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        ready, _, _ = select.select([proc.stdout], [], [], 5.0)
+        if not ready:
+            if proc.poll() is not None:
+                break  # child exited without emitting the line
+            continue
+        line = proc.stdout.readline()
+        if not line and proc.poll() is not None:
+            break  # EOF: child exited
+        if needle in line:
+            return True
+    return False
+
+
 def _spawn(mode, port, ckpt, out, pid):
     return subprocess.Popen(
         [sys.executable, "-c", _WORKER.format(repo=_REPO),
@@ -249,13 +271,7 @@ def test_sigkill_peer_then_survivor_resumes(tmp_path, reference_poses):
 
     # Wait for round 1 (checkpoint write) on process 0's stdout, then kill
     # process 1 inside the sleep window before round 2's collectives.
-    deadline = time.time() + 240
-    line = ""
-    while time.time() < deadline:
-        line = ps[0].stdout.readline()
-        if "ROUND1 done" in line:
-            break
-    assert "ROUND1 done" in line, "round 1 never completed"
+    assert _await_line(ps[0], "ROUND1 done"), "round 1 never completed"
     assert ckpt.exists()
     os.kill(ps[1].pid, signal.SIGKILL)
 
@@ -336,13 +352,7 @@ def test_three_process_loss_reforms_two_survivor_world(
     out = tmp_path / "out.npz"
     ps = [_spawn("trio_crash", port, ckpt, out, pid) for pid in range(3)]
 
-    deadline = time.time() + 240
-    line = ""
-    while time.time() < deadline:
-        line = ps[0].stdout.readline()
-        if "ROUND1 done" in line:
-            break
-    assert "ROUND1 done" in line, "round 1 never completed"
+    assert _await_line(ps[0], "ROUND1 done"), "round 1 never completed"
     assert ckpt.exists()
     os.kill(ps[2].pid, signal.SIGKILL)
 
