@@ -131,7 +131,8 @@ def _window_superstep(
     pnp_uv: jax.Array,       # (W, Npnp, 2)
     pnp_w: jax.Array,        # (W, Npnp) f32 1 for scheduled slots
     tri_rows: jax.Array,     # (W, Ntri) i32 rows to triangulate (sentinel-padded)
-    tri_uva: jax.Array,      # (W, Ntri, 2) obs at frame k-1
+    tri_anc: jax.Array,      # (W, Ntri) i32 ANCHOR keyframe per pair
+    tri_uva: jax.Array,      # (W, Ntri, 2) obs at the anchor keyframe
     tri_uvb: jax.Array,      # (W, Ntri, 2) obs at frame k
     tri_w: jax.Array,        # (W, Ntri) f32 1 for scheduled slots
     pnp_iterations: int = 10,
@@ -140,12 +141,25 @@ def _window_superstep(
 
     Per step k: (1) PnP against currently-valid scheduled points (warm-started
     from pose k-1, branchless fallback to pose k-1 when under 6 usable
-    correspondences); (2) midpoint-triangulate scheduled pairs from (k-1, k),
-    marking rows valid on a positive-depth test unless already valid."""
+    correspondences); (2) midpoint-triangulate scheduled pairs from
+    (anchor, k), marking rows valid on a parallax + both-view-depth test
+    unless already valid.
+
+    Round 5: the triangulation pair is (TRACK FIRST OBSERVATION, k), not
+    (k-1, k).  Consecutive keyframes have ~0.15-unit baselines against
+    6-14-unit depths (under 1 deg of parallax for forward motion), so at
+    1e-3-rad observation noise the apparent noise parallax (~1.4e-3 rad)
+    rivals the real signal and noise-depth points poisoned PnP — measured
+    open-loop 200 kf ATE blew up 0.017 -> 3.6 going from 5e-4 to 1e-3
+    noise.  Anchoring at the track head grows the baseline with track age
+    (the host reschedules failed rows each window, so a young track simply
+    triangulates a few frames later once its parallax clears the gate),
+    which lets the gate sit at 1e-2 rad — 10x the noise floor — without
+    starving the map."""
 
     def body(carry, inputs):
         poses, points, valid = carry
-        k, rows, uv, w, trows, uva, uvb, tw = inputs
+        k, rows, uv, w, trows, tanc, uva, uvb, tw = inputs
         # ---- PnP ----
         p3 = points[rows]
         wv = w * valid[rows].astype(jnp.float32)
@@ -154,27 +168,32 @@ def _window_superstep(
         refined = refine_pose_pnp(pose_prev, p3, uv, wv, iterations=pnp_iterations)
         pose_k = jnp.where(count >= 6.0, refined, pose_prev)
         poses = poses.at[k].set(pose_k)
-        # ---- triangulate new tracks seen from (k-1, k) ----
-        ra = rotvec_to_matrix(poses[k - 1, :3])
+        # ---- triangulate scheduled tracks from (anchor, k) ----
+        pa = poses[tanc]                       # (Ntri, 6) anchor poses
+        ra = rotvec_to_matrix(pa[:, :3])       # (Ntri, 3, 3)
         rb = rotvec_to_matrix(pose_k[:3])
-        r_rel = rb @ ra.T
-        t_rel = pose_k[3:] - r_rel @ poses[k - 1, 3:]
+        r_rel = jnp.einsum("ij,nkj->nik", rb, ra)          # rb @ ra^T
+        t_rel = pose_k[3:] - jnp.einsum("nij,nj->ni", r_rel, pa[:, 3:])
         ones = jnp.ones((*uva.shape[:-1], 1), uva.dtype)
         xa = jnp.concatenate([uva, ones], axis=-1)
         xb = jnp.concatenate([uvb, ones], axis=-1)
-        local = triangulate(r_rel, t_rel, xa, xb)  # cam_{k-1} frame
-        world = (local - poses[k - 1, 3:]) @ ra
-        # Parallax gate (round 4): the rotation-compensated ray angle must
-        # clear ~0.17 deg — near-zero-parallax pairs triangulate to wildly
-        # wrong depths under observation noise, and those map points were
-        # what eventually broke PnP on long trajectories (200 kf bench).
-        # Both-view positive depth for the same reason.
+        local = jax.vmap(
+            lambda rr, tt, a, b: triangulate(rr, tt, a[None], b[None])[0]
+        )(r_rel, t_rel, xa, xb)                # (Ntri, 3) in anchor frames
+        world = jnp.einsum(
+            "nj,nji->ni", local - pa[:, 3:], ra
+        )
+        # Parallax gate: rotation-compensated ray angle must clear 1e-2 rad
+        # (~0.57 deg) — near-zero-parallax pairs triangulate to wildly
+        # wrong depths under observation noise, and those map points are
+        # what breaks PnP on long trajectories.  Both-view positive depth
+        # for the same reason.
         ray_a = xa / jnp.linalg.norm(xa, axis=-1, keepdims=True)
-        ray_b = xb @ r_rel  # cam_b ray expressed in cam_{k-1} axes
+        ray_b = jnp.einsum("nj,nji->ni", xb, r_rel)  # cam_b ray, anchor axes
         ray_b = ray_b / jnp.linalg.norm(ray_b, axis=-1, keepdims=True)
         cosang = jnp.clip(jnp.sum(ray_a * ray_b, axis=-1), -1.0, 1.0)
-        parallax_ok = cosang < jnp.float32(np.cos(3e-3))
-        zb = (local @ r_rel.T + t_rel)[:, 2]
+        parallax_ok = cosang < jnp.float32(np.cos(1e-2))
+        zb = (jnp.einsum("nij,nj->ni", r_rel, local) + t_rel)[:, 2]
         ok = (
             (local[:, 2] > 0) & (zb > 0) & parallax_ok
             & (tw > 0) & jnp.logical_not(valid[trows])
@@ -187,7 +206,8 @@ def _window_superstep(
 
     (poses, points, valid), _ = jax.lax.scan(
         body, (poses, points, valid),
-        (ks, pnp_rows, pnp_uv, pnp_w, tri_rows, tri_uva, tri_uvb, tri_w),
+        (ks, pnp_rows, pnp_uv, pnp_w, tri_rows, tri_anc, tri_uva, tri_uvb,
+         tri_w),
     )
     return poses, points, valid
 
@@ -437,7 +457,14 @@ def run_incremental(
             tri_k = []
             for ti in frame_tracks[kk]:
                 tr = observations[ti]
-                if kk - 1 not in tr:
+                # Anchor = the track's FIRST keyframe (round 5): the
+                # triangulation baseline grows with track age instead of
+                # being pinned to one inter-keyframe step, so the device's
+                # 1e-2-rad parallax gate can reject noise-parallax pairs
+                # without starving the map (failed rows retry next window
+                # with an even wider baseline).
+                anchor = min(tr)
+                if anchor >= kk:
                     continue
                 if ti in assigned:
                     row = assigned[ti]
@@ -446,12 +473,12 @@ def run_incremental(
                         if ti not in assign_step:
                             continue  # valid from a previous window
                         # assigned this window: retry at later pairs
-                    tri_k.append((row, tr[kk - 1], tr[kk]))
+                    tri_k.append((row, anchor, tr[anchor], tr[kk]))
                 else:
                     ensure_capacity(next_row + 1)
                     assigned[ti] = next_row
                     assign_step[ti] = wi
-                    tri_k.append((next_row, tr[kk - 1], tr[kk]))
+                    tri_k.append((next_row, anchor, tr[anchor], tr[kk]))
                     next_row += 1
             pnp_sched.append(pnp_k)
             tri_sched.append(tri_k)
@@ -467,6 +494,7 @@ def run_incremental(
         pnp_uv = np.zeros((W, n_pnp, 2), np.float32)
         pnp_w = np.zeros((W, n_pnp), np.float32)
         tri_rows = np.full((W, n_tri), sentinel, np.int32)
+        tri_anc = np.zeros((W, n_tri), np.int32)
         tri_uva = np.zeros((W, n_tri, 2), np.float32)
         tri_uvb = np.zeros((W, n_tri, 2), np.float32)
         tri_w = np.zeros((W, n_tri), np.float32)
@@ -475,8 +503,9 @@ def run_incremental(
                 pnp_rows[wi, s] = row
                 pnp_uv[wi, s] = uv
                 pnp_w[wi, s] = 1.0
-            for s, (row, uva, uvb) in enumerate(tri_sched[wi]):
+            for s, (row, anchor, uva, uvb) in enumerate(tri_sched[wi]):
                 tri_rows[wi, s] = row
+                tri_anc[wi, s] = anchor
                 tri_uva[wi, s] = uva
                 tri_uvb[wi, s] = uvb
                 tri_w[wi, s] = 1.0
@@ -489,8 +518,8 @@ def run_incremental(
             jnp.asarray(poses), jnp.asarray(dev_points), jnp.asarray(dev_valid),
             jnp.asarray(np.asarray(window, np.int32)),
             jnp.asarray(pnp_rows), jnp.asarray(pnp_uv), jnp.asarray(pnp_w),
-            jnp.asarray(tri_rows), jnp.asarray(tri_uva), jnp.asarray(tri_uvb),
-            jnp.asarray(tri_w),
+            jnp.asarray(tri_rows), jnp.asarray(tri_anc), jnp.asarray(tri_uva),
+            jnp.asarray(tri_uvb), jnp.asarray(tri_w),
         )
         poses = np.asarray(out_poses)
         points[:pcap] = np.asarray(out_points[:pcap])
