@@ -196,6 +196,16 @@ class SfmConfig:
     # Keyframe selection: minimum fraction of tracked matches before a new
     # keyframe is inserted (video front-end, SURVEY.md §7.2 step 5).
     keyframe_min_tracked: float = 0.6
+    # Pose-graph edge information weights (1/sigma; round 5): odometry
+    # edges carry BA-polished local relative poses, closure edges carry
+    # monocular two-view measurement noise (~2e-3 rad — the repo's own
+    # measured two-view accuracy, BASELINE.md).  Unweighted PGO trusted
+    # both equally, so on a low-drift trajectory closure noise INCREASED
+    # 200 kf ATE 0.010 -> 0.033; these defaults let closures correct real
+    # accumulated drift without injecting their own noise when there is
+    # little drift to correct.
+    pgo_odometry_sigma: float = 5e-5
+    pgo_closure_sigma: float = 2e-3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -216,7 +216,7 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return max(minimum, 1 << max(0, (n - 1)).bit_length())
 
 
-def _apply_pose_graph(poses, num_kf, closures, iterations=12):
+def _apply_pose_graph(poses, num_kf, closures, iterations=12, sconfig=None):
     """Pose-graph optimization over odometry + loop-closure edges.
 
     Odometry edges carry the current incremental estimates (zero residual at
@@ -224,9 +224,13 @@ def _apply_pose_graph(poses, num_kf, closures, iterations=12):
     PGO distributes each closure's discrepancy around the loop.  Monocular
     closures have unit-scale translation — rescaled here to the current
     estimate's baseline norm (direction + rotation are the measurement).
-    Edge count is bucket-padded (valid-masked) for executable reuse."""
+    Edges are INFORMATION-WEIGHTED (round 5, SfmConfig.pgo_*_sigma): see
+    PoseGraph's docstring — unweighted PGO let closure measurement noise
+    increase ATE on low-drift trajectories.  Edge count is bucket-padded
+    (valid-masked) for executable reuse."""
     from akaze_tpu.sfm.pose_graph import PoseGraph, optimize_pose_graph, relative
 
+    sconfig = sconfig or SfmConfig()
     act = [c for c in closures if c[1] < num_kf]
     if not act:
         return poses, False
@@ -246,11 +250,15 @@ def _apply_pose_graph(poses, num_kf, closures, iterations=12):
         edges_j.append(i)
         rels.append(rel6)
     e = len(edges_i)
+    n_odo = num_kf - 1  # odometry edges precede closures in the lists
     ecap = _bucket(e, 16)
     K = len(poses)
     fixed = np.zeros(K, bool)
     fixed[0] = True
     fixed[num_kf:] = True
+    weights = np.zeros(ecap, np.float32)
+    weights[:n_odo] = 1.0 / max(sconfig.pgo_odometry_sigma, 1e-9)
+    weights[n_odo:e] = 1.0 / max(sconfig.pgo_closure_sigma, 1e-9)
     graph = PoseGraph(
         poses=jnp.asarray(poses, jnp.float32),
         edge_i=jnp.asarray(
@@ -264,6 +272,7 @@ def _apply_pose_graph(poses, num_kf, closures, iterations=12):
         ),
         valid=jnp.asarray(np.arange(ecap) < e),
         fixed=jnp.asarray(fixed),
+        weight=jnp.asarray(weights),
     )
     out = optimize_pose_graph(graph, iterations=iterations)
     return np.asarray(out.poses), True
@@ -539,7 +548,7 @@ def run_incremental(
             # later keyframe; BA then re-polishes from the corrected poses.
             if any(k <= cj <= k_end for _, cj, _ in closure_list):
                 poses, applied = _apply_pose_graph(
-                    poses, k_end + 1, closure_list, pgo_iterations
+                    poses, k_end + 1, closure_list, pgo_iterations, sconfig
                 )
                 if applied:
                     poses, new_pts = _run_ba(

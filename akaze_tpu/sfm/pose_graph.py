@@ -26,7 +26,17 @@ from akaze_tpu.sfm.rotations import matrix_to_rotvec, rotvec_to_matrix
 @dataclasses.dataclass
 class PoseGraph:
     """poses (K, 6); edges i/j (E,) i32; rel (E, 6) measured cam_i-from-cam_j
-    [rotvec | trans]; valid (E,) bool; fixed (K,) bool."""
+    [rotvec | trans]; valid (E,) bool; fixed (K,) bool; weight (E,) f32
+    information weights (1/sigma per edge; None = unweighted).
+
+    Weights exist because odometry and closure edges have very different
+    information content (round 5): odometry edges carry the BA-polished
+    local relative poses (per-edge error ~1e-4), while monocular closure
+    edges carry two-view measurement noise (~2e-3 rad, BASELINE.md
+    two-view accuracy).  Unweighted PGO trusted both equally, so on a
+    low-drift trajectory the closures' own noise INCREASED ATE 3x; with
+    information weights the optimum moves only as far as the accumulated
+    odometry error actually warrants."""
 
     poses: jax.Array
     edge_i: jax.Array
@@ -34,6 +44,7 @@ class PoseGraph:
     rel: jax.Array
     valid: jax.Array
     fixed: jax.Array
+    weight: jax.Array | None = None
 
 
 def compose(pose_a: jax.Array, pose_b: jax.Array) -> jax.Array:
@@ -57,10 +68,13 @@ def relative(pose_i: jax.Array, pose_j: jax.Array) -> jax.Array:
 
 
 def _residuals(poses: jax.Array, graph: PoseGraph) -> jax.Array:
-    """(E, 6) log-residuals, zeroed on invalid edges."""
+    """(E, 6) log-residuals, zeroed on invalid edges, information-scaled."""
     rel_est = relative(poses[graph.edge_i], poses[graph.edge_j])
     err = compose(invert(graph.rel), rel_est)  # identity when consistent
-    return err * graph.valid[:, None]
+    err = err * graph.valid[:, None]
+    if graph.weight is not None:
+        err = err * graph.weight[:, None]
+    return err
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
@@ -90,4 +104,5 @@ def optimize_pose_graph(
     return PoseGraph(
         poses=poses, edge_i=graph.edge_i, edge_j=graph.edge_j,
         rel=graph.rel, valid=graph.valid, fixed=graph.fixed,
+        weight=graph.weight,
     )

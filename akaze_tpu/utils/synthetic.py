@@ -339,8 +339,13 @@ def sfm_scene(
                 ]) / (2 * np.sin(th))
                 rel6[:3] = th * ax
             rel6[:3] += rng.normal(0, closure_rot_noise, 3)
-            rel6[3:] = t_rel + rng.normal(0, closure_t_noise * max(
+            # UNIT-normalized translation: monocular closures carry
+            # direction + rotation only (sfm.incremental._apply_pose_graph
+            # rescales to the current estimate's baseline norm — a metric
+            # translation here would get scaled TWICE).
+            t_noisy = t_rel + rng.normal(0, closure_t_noise * max(
                 np.linalg.norm(t_rel), 1e-6), 3)
+            rel6[3:] = t_noisy / max(np.linalg.norm(t_noisy), 1e-9)
             closures.append((i, j, rel6))
     return poses, observations, closures
 

@@ -35,7 +35,7 @@ from akaze_tpu.utils.synthetic import sfm_scene
 
 def run(K, P, use_closures):
     poses_gt, observations, closures = sfm_scene(
-        K, P, seed=0, loop=True, obs_noise=1e-3, num_closures=5
+        K, P, seed=0, loop=True, obs_noise=2e-3, num_closures=5
     )
     scfg = SfmConfig(ba_iterations=8)
     rcfg = RansacConfig(num_iterations=256, inlier_threshold=5e-3)
