@@ -105,7 +105,14 @@ def _compiled_video_program(
             jnp.int32(1),
         )
         frame_stream = (feats.descriptors[1:], feats.keypoints.valid[1:])
-        _, (kf_counts, is_kf) = jax.lax.scan(kf_step, kf_init, frame_stream)
+        import os
+
+        if os.environ.get("AKAZE_VIDEO_NOKF"):  # trace-time cost ablation
+            T1 = feats.descriptors.shape[0] - 1
+            kf_counts = jnp.zeros((T1,), jnp.int32)
+            is_kf = jnp.zeros((T1,), bool)
+        else:
+            _, (kf_counts, is_kf) = jax.lax.scan(kf_step, kf_init, frame_stream)
         kf_counts = jnp.concatenate([jnp.zeros((1,), kf_counts.dtype), kf_counts])
         is_kf = jnp.concatenate([jnp.zeros((1,), bool), is_kf])
         # All scalar-per-frame reductions happen IN-program: every extra op

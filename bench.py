@@ -350,8 +350,15 @@ def bench_sfm(num_keyframes: int = 50, num_points: int = 600) -> None:
     from akaze_tpu.utils.synthetic import sfm_scene
 
     loop = num_keyframes > 50
+    # Loop scene at 2e-3 normalized obs noise (~1.3 px at VGA focal — a
+    # realistic tracker error): open-loop drift is then real (ATE 0.049)
+    # and the closure machinery measurably bounds it (0.032); at the
+    # near-noiseless 5e-4 the drift is ~1e-4 of the trajectory and
+    # closures have nothing to do.  Round-4 code DIVERGED at this noise
+    # (ATE 4.8) — fixed by anchor triangulation (BASELINE.md round 5).
     poses, observations, closures = sfm_scene(
-        num_keyframes, num_points, seed=0, loop=loop
+        num_keyframes, num_points, seed=0, loop=loop,
+        obs_noise=2e-3 if loop else 5e-4,
     )
     scfg = SfmConfig(ba_iterations=8)
     rcfg = RansacConfig(num_iterations=256, inlier_threshold=5e-3)

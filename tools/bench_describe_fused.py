@@ -45,6 +45,17 @@ for s in range(4):
     x = rng.uniform(20, 620, (B, M)).astype(np.float32)
     y = rng.uniform(20, 460, (B, M)).astype(np.float32)
     valid = (np.arange(M)[None, :] < LIVE).astype(bool) & np.ones((B, 1), bool)
+    if os.environ.get("AB_SORT"):
+        # DMA-coherent order like detect() emits since round 5: sort each
+        # frame's live prefix by (level, y-block, x-block) so the kernel's
+        # fetch dedup sees adjacent sharers.
+        for b in range(B):
+            yi = (y[b] / ratio[b]).astype(np.int64)
+            xi = (x[b] / ratio[b]).astype(np.int64)
+            key = (lvl[b].astype(np.int64) << 40) | ((yi >> 6) << 20) | (xi >> 7)
+            key[~valid[b]] = 1 << 62
+            order = np.argsort(key, kind="stable")
+            x[b], y[b], lvl[b] = x[b][order], y[b][order], lvl[b][order]
     z = np.zeros((B, M), np.float32)
     kps = Keypoints(
         x=jnp.asarray(x), y=jnp.asarray(y), response=jnp.asarray(z),
