@@ -55,6 +55,10 @@ def _compiled_video_program(
 ):
     """One jitted program for the whole (num_chunks, B, H, W) sequence."""
 
+    import os
+
+    _nomatch = bool(os.environ.get("AKAZE_VIDEO_NOMATCH"))  # cost ablation
+
     @jax.jit
     def run(chunks):
         def chunk_step(carry, frames):
@@ -64,9 +68,20 @@ def _compiled_video_program(
             val = jnp.concatenate(
                 [prev_valid[None], feats.keypoints.valid[:-1]], 0
             )
-            matches = jax.vmap(
-                lambda da, va, db, vb: match_fn(da, va, db, vb, mconfig)
-            )(desc, val, feats.descriptors, feats.keypoints.valid)
+            if _nomatch:
+                from akaze_tpu.matching.hamming import Matches
+
+                B = frames.shape[0]
+                cap = config.max_keypoints
+                matches = Matches(
+                    idx_b=jnp.zeros((B, cap), jnp.int32),
+                    distance=jnp.zeros((B, cap), jnp.int32),
+                    accepted=jnp.zeros((B, cap), bool),
+                )
+            else:
+                matches = jax.vmap(
+                    lambda da, va, db, vb: match_fn(da, va, db, vb, mconfig)
+                )(desc, val, feats.descriptors, feats.keypoints.valid)
             out_carry = (feats.descriptors[-1], feats.keypoints.valid[-1])
             return out_carry, (feats, matches)
 
