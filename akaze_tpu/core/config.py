@@ -64,7 +64,12 @@ class AkazeConfig:
     # 128 would win ~0.7 ms/batch16 (smaller approx-top-k sorts) and matches
     # 256 exactly on typical content, but FAILS the repetitive-grid
     # adversarial parity gate (tests/test_scene_regression.py) — dense
-    # repetitive extrema overflow a 128 cap.  Keep 256.
+    # repetitive extrema overflow a 128 cap.  256 is the measured
+    # throughput/coverage default.  512 is the ACCURACY-MODE setting
+    # (round 5, tools/nms_bisect.py): textured VGA levels carry up to 399
+    # raw candidates, so the 256 cap drops ~25% of the reference's
+    # keypoints (golden->device coverage 71% -> 93% at 512) at a measured
+    # 8.7% headline cost (1074 vs 1177 fps same-session A/B).
     per_level_candidates: int = 256
     # TPU front-end only: approx_max_k recall target for candidate top-K.
     # 0.95 shrinks the PartialReduce intermediate and its sort (~2 ms /
