@@ -130,8 +130,9 @@ def find_candidates_oct(oct_products, statics: ScaleSpaceStatics):
     cfg = statics.config
     # AKAZE_PER_LEVEL_CANDIDATES: trace-time A/B override only (config
     # field is the source of truth) — for measuring the K=512 parity/cost
-    # tradeoff (tools/nms_bisect.py found the K=256 cap is the dominant
-    # golden-coverage miss class on textured scenes).
+    # tradeoff (tools/nms_bisect.py: the K=256 cap is the dominant
+    # golden-coverage miss class on textured scenes; measured 8.7%
+    # headline cost at 512, BASELINE.md round 5).
     K = _env_override(
         "AKAZE_PER_LEVEL_CANDIDATES", cfg.per_level_candidates, cast=int
     )
@@ -346,30 +347,6 @@ def detect(
     else:
         xf, yf, keep = subpixel_refine(class_id, yi, xi, ldet, statics)
 
-    valid_out = (top_resp > _NEG) & keep
-
-    # Emit keypoints in DMA-COHERENT order (round 5): sort the M winners by
-    # (valid desc, level, y-block, x-block) so keypoints sharing a describe
-    # fetch window sit adjacently — the fused describe kernel dedups
-    # window DMAs between consecutive keypoints (measured 66% duplicate
-    # fetches on video scenes at the (128, 256) window, 80% on repetitive
-    # grids).  Sorting also compacts subpixel-rejected holes to the tail,
-    # shrinking the kernel's live range.  A 1024-element per-frame
-    # sort_key_val + a few (M,) gathers is noise next to the ~1 us/kp DMA
-    # issue cost it removes.  Keypoint ORDER is not part of reference
-    # parity (the golden model emits raster order, the round <= 4 pipeline
-    # emitted response order; parity tests pair by position).
-    inval = jnp.logical_not(valid_out).astype(jnp.int32)
-    key = (
-        (inval << 28) | (class_id << 20) | ((yi >> 6) << 8) | (xi >> 7)
-    )
-    _, perm = jax.lax.sort_key_val(key, jnp.arange(M, dtype=jnp.int32))
-    xf = xf[perm]
-    yf = yf[perm]
-    top_resp = top_resp[perm]
-    class_id = class_id[perm]
-    valid_out = valid_out[perm]
-
     sizes = jnp.asarray(statics.sizes)
     octaves = jnp.asarray(statics.octaves)
     return Keypoints(
@@ -380,5 +357,5 @@ def detect(
         octave=octaves[class_id],
         class_id=class_id,
         angle=jnp.zeros((M,), jnp.float32),
-        valid=valid_out,
+        valid=(top_resp > _NEG) & keep,
     )

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -51,30 +50,6 @@ from jax.experimental.pallas import tpu as pltpu
 CB = 64  # keypoints per program
 U = 8  # sub-group unroll (dead-work skip granularity)
 NSLOT = 16  # patch DMA slots: one sub-group resident + one in flight
-# Fetch-window dims (round 5): windows larger than the aligned minimum
-# (PH+8, PW+128) let nearby keypoints land in the SAME window and share one
-# fetch — the patch DMA is issue-bound, not byte-bound (measured 1.07 us/kp
-# vs a 0.27 us byte floor, BASELINE.md), so bigger-but-fewer DMAs can win.
-# Window origins quantize to (FETCH_H - PH, 128); detect() emits keypoints
-# sorted by (level, y-block, x-block) so sharers are adjacent, and the host
-# marks each keypoint's fetch HEAD (the kernel skips the DMA for non-heads
-# and reads the head's slot).  Measured duplicate-fetch rates on video
-# scenes: 21% at (72, 192), 66% at (128, 256), 80% repetitive-grid.
-# (72, 192) reproduces the round-4 window geometry exactly (dedup on top);
-# AKAZE_FETCH=H,W is the A/B override.
-_env_fetch = os.environ.get("AKAZE_FETCH", "")
-FETCH_H, FETCH_W = (
-    tuple(int(v) for v in _env_fetch.split(",")) if _env_fetch else (128, 256)
-)
-assert FETCH_H % 8 == 0 and FETCH_H > 64 and FETCH_W >= 192, (
-    "FETCH_H must be 8-aligned and > PH; FETCH_W >= PW + 128 so a"
-    " 128-quantized origin covers any 64-wide patch"
-)
-# NOTE: FETCH_W must be a 128-multiple on TPU — the follower slot read is
-# dynamically indexed, and Mosaic rejects tpu.dynamic_rotate on the
-# resulting non-tile-aligned (e.g. 192-lane) vectors ("unsupported
-# unaligned shape"); 256 lanes compiles.  (The round-4 static-slot kernel
-# could roll 192-lane vectors.)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -177,10 +152,7 @@ def _fused_kernel(
     # scalar prefetch
     nsub_ref,  # (NP,) i32: live sub-groups per program
     # blocked SMEM per-keypoint DMA scalars
-    ints_ref,  # (CB, 8) i32: grp, idx0, idx1, y0a, x0a, dy, dx, vhead
-    #            vhead = 0 invalid; 1 + delta for valid, where delta is the
-    #            distance back to the keypoint whose DMA fetched this
-    #            window (0 = fetch it yourself)
+    ints_ref,  # (CB, 8) i32: grp, idx0, idx1, y0a, x0a, dy, dx, valid
     # blocked VMEM copies for batched vector math
     intv_ref,  # (CB, 8) i32 (same content as ints_ref)
     kpfv_ref,  # (CB, 8) f32: xf, yf, scale, xmax, ymax
@@ -234,9 +206,7 @@ def _fused_kernel(
 
     def start(k, slot):
         kc = jnp.minimum(k, CB - 1)
-        # Only the HEAD of a shared-window run fetches (vhead == 1);
-        # followers reuse the head's slot in phase A.
-        live = (k < CB) & (ints_ref[kc, 7] == 1)
+        live = (k < CB) & (ints_ref[kc, 7] > 0)
         for g in range(G):
 
             @pl.when(live & (ints_ref[kc, 0] == g))
@@ -295,54 +265,21 @@ def _fused_kernel(
         # ---- phase A: wait + recenter into pscr; launch next fetches ----
         for u in range(U):
             k = base_k + u
-            vh = ints_ref[k, 7]
-            # The slot holding this keypoint's window: its run head's.
-            # Host caps delta < U, so the head's slot (overwritten only by
-            # start(head + NSLOT), issued while processing head + U) is
-            # still live for every follower.
-            slot = jax.lax.rem(k - (vh - 1), NSLOT)
+            slot = jax.lax.rem(k, NSLOT)
             for g in range(G):
                 pha, pwa = GDIMS[g]
 
-                # Only the head has a pending DMA to wait on.
-                @pl.when((vh == 1) & (ints_ref[k, 0] == g))
-                def _(k=k, g=g):
-                    for c in range(3):
-                        make_dma(g, jax.lax.rem(k, NSLOT), k, c).wait()
-
-                @pl.when((vh > 0) & (ints_ref[k, 0] == g))
+                @pl.when((ints_ref[k, 7] > 0) & (ints_ref[k, 0] == g))
                 def _(k=k, u=u, slot=slot, g=g, pha=pha, pwa=pwa):
+                    for c in range(3):
+                        make_dma(g, slot, k, c).wait()
                     dy = ints_ref[k, 5]
                     dx = ints_ref[k, 6]
-                    if ABLATE == "noroll":
-                        # Timing ablation: stage the un-recentered window
-                        # corner (WRONG values — isolates the recenter-roll
-                        # cost inside phase A).
-                        for c in range(3):
-                            pscr[u, c] = slots[slot, c, :PH, :PW]
-                        return
                     for c in range(3):
-                        if pha > PH + 8:
-                            # 8-ALIGNED dynamic pre-slice at (dy//8)*8 (a
-                            # provably-true pl.multiple_of claim) cuts the
-                            # y-roll from the full pha-row window to PH+8
-                            # rows; only the sub-8 remainder rolls.
-                            dy8 = jnp.minimum((dy // 8) * 8, pha - (PH + 8))
-                            p = slots[
-                                slot, c,
-                                pl.ds(pl.multiple_of(dy8, 8), PH + 8), :pwa,
-                            ]
-                            rem = dy - dy8  # in [0, 8]
-                            p = pltpu.roll(
-                                p, jax.lax.rem(jnp.int32(PH + 8) - rem, PH + 8), 0
-                            )
-                            p = p[:PH, :]
-                        elif pha > PH:
-                            p = slots[slot, c, :pha, :pwa]
+                        p = slots[slot, c, :pha, :pwa]
+                        if pha > PH:
                             p = pltpu.roll(p, jax.lax.rem(pha - dy, pha), 0)
                             p = p[:PH, :]
-                        else:
-                            p = slots[slot, c, :pha, :pwa]
                         if pwa > PW:
                             p = pltpu.roll(p, jax.lax.rem(pwa - dx, pwa), 1)
                             p = p[:, :PW]
@@ -492,7 +429,7 @@ def _run(
             padw = [(0, 0)] * (trip[0].ndim - 2) + [(0, hp - h), (0, wp - w)]
             trip = tuple(jnp.pad(a, padw) for a in trip)
         padded.extend(trip)
-        gdims.append((min(FETCH_H, hp), min(FETCH_W, wp)))
+        gdims.append((min(PH + 8, hp), min(_round_up(PW + 127, 128), wp)))
     gdims = tuple(gdims)
     max_pha = max(p for p, _ in gdims)
     max_pwa = max(p for _, p in gdims)
@@ -525,61 +462,19 @@ def _run(
     yf = ky.reshape(N) / ratios
     y0d = jnp.clip(_round_half_up(yf) - PH // 2, 0, jnp.maximum(heights - PH, 0))
     x0d = jnp.clip(_round_half_up(xf) - PW // 2, 0, jnp.maximum(widths - PW, 0))
-    # Window origins on the shared (FETCH_H - PH, 128) grid: dy <= pha - PH
-    # and dx <= pwa - PW by construction, and both clip bounds stay (8,
-    # 128)-aligned (hp/pha 8-multiples, wp 128-multiple, pwa from a
-    # 128-aligned min), so the kernel's pl.multiple_of claims hold.  Levels
-    # whose whole (padded) plane fits the window use origin 0.
-    qy = FETCH_H - PH  # 8-aligned by the FETCH_H assert
-    qy_of = np.where(np.asarray(hp_of) > FETCH_H, qy, 1 << 20)
-    qx = ((FETCH_W - PW) // 128) * 128
-    qx_of = np.where(np.asarray(wp_of) > FETCH_W, qx, 1 << 20)
     y0a = jnp.minimum(
-        (y0d // jnp.asarray(qy_of)[lvl]) * jnp.asarray(qy_of)[lvl],
-        jnp.asarray(hp_of)[lvl] - jnp.asarray(pha_of)[lvl],
+        (y0d // 8) * 8, jnp.asarray(hp_of)[lvl] - jnp.asarray(pha_of)[lvl]
     )
     x0a = jnp.minimum(
-        (x0d // jnp.asarray(qx_of)[lvl]) * jnp.asarray(qx_of)[lvl],
-        jnp.asarray(wp_of)[lvl] - jnp.asarray(pwa_of)[lvl],
+        (x0d // 128) * 128, jnp.asarray(wp_of)[lvl] - jnp.asarray(pwa_of)[lvl]
     )
     frame = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
     grp = jnp.asarray(grp_of)[lvl]
     lvl_loc = lvl - jnp.asarray(l0_of)[lvl]
     idx0, idx1 = (lvl_loc, frame) if level_major else (frame, lvl_loc)
     v = valid.reshape(N).astype(jnp.int32)
-
-    # Fetch-dedup runs: keypoints with identical (grp, idx0, idx1, y0a,
-    # x0a) AND adjacent in the (detect-sorted) order share one DMA.  vhead
-    # = 1 + distance back to the run head, capped at U so the head's slot
-    # is still live (see the kernel's liveness note); runs reset at
-    # program boundaries (k % CB == 0) because ints blocks are
-    # program-scoped.
-    same = (
-        (grp[1:] == grp[:-1])
-        & (idx0[1:] == idx0[:-1])
-        & (idx1[1:] == idx1[:-1])
-        & (y0a[1:] == y0a[:-1])
-        & (x0a[1:] == x0a[:-1])
-        & (v[1:] > 0)
-        & (v[:-1] > 0)
-        & (jnp.arange(1, N, dtype=jnp.int32) % CB != 0)
-    )
-    same = jnp.concatenate([jnp.zeros(1, bool), same])
-
-    def _run_combine(a, b):
-        # Trailing-run-length scan: (count, all_ones) per segment.
-        return (jnp.where(b[1], a[0] + b[0], b[0]), a[1] & b[1])
-
-    rpos, _ = jax.lax.associative_scan(
-        _run_combine, (same.astype(jnp.int32), same)
-    )
-    delta = rpos % U
-    if os.environ.get("AKAZE_NO_DEDUP"):  # A/B control: every kp fetches
-        delta = jnp.zeros_like(delta)
     ints = jnp.stack(
-        [grp, idx0, idx1, y0a, x0a, y0d - y0a, x0d - x0a,
-         jnp.where(v > 0, delta + 1, 0)],
-        axis=1,
+        [grp, idx0, idx1, y0a, x0a, y0d - y0a, x0d - x0a, v], axis=1
     )
     kpf = jnp.stack(
         [
@@ -638,6 +533,8 @@ def _run(
             pltpu.SemaphoreType.DMA((NSLOT, 3)),
         ],
     )
+    import os
+
     angles, desc = pl.pallas_call(
         functools.partial(
             _fused_kernel, PH=PH, PW=PW, NWORDS=NWORDS, GDIMS=gdims,
