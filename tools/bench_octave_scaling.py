@@ -68,12 +68,16 @@ def main():
             _, acc = jax.lax.fori_loop(0, reps, body, (s, jnp.float32(0.0)))
             return acc
 
-        jax.block_until_ready(run(seed, k, 2))
+        # float() forces a HOST transfer per measurement: on the tunneled
+        # backend block_until_ready alone can return before queued work
+        # finishes (BASELINE.md "Measurement integrity") — the first cut of
+        # this probe measured ~0 ms/rep for exactly that reason.
+        float(run(seed, k, 2))
         t_small = time.perf_counter()
-        jax.block_until_ready(run(seed, k, 4))
+        float(run(seed, k, 4))
         t_small = time.perf_counter() - t_small
         t_big = time.perf_counter()
-        jax.block_until_ready(run(seed, k, 16))
+        float(run(seed, k, 16))
         t_big = time.perf_counter() - t_big
         per = (t_big - t_small) / 12 * 1e3
         results[mult] = per
