@@ -63,7 +63,13 @@ def test_keypoint_count_parity(parity):
 
 
 def test_keypoint_position_parity(parity):
-    assert parity["frac_pos"] >= 0.9
+    # Round-5 floor raise (verdict item 6): the NMS bisect
+    # (tools/nms_bisect.py, BASELINE.md round 5) attributes the
+    # device-vs-golden selection differences to the per-level candidate
+    # cap (config-documented) plus ~3-5% of genuine chain/replacement
+    # NMS-semantics divergence — so 0.93 is the defensible floor for the
+    # device->golden direction on textured content (measured 0.95-0.997).
+    assert parity["frac_pos"] >= 0.93
     assert parity["frac_covered"] >= 0.9
 
 
@@ -87,7 +93,7 @@ def test_conductivity_variants_parity(small_image, diff):
     cfg = AkazeConfig(diffusivity=diff)
     gres = golden.extract(small_image, cfg)
     stats = _match_stats(gres, extract(small_image, cfg))
-    assert stats["frac_pos"] >= 0.85
+    assert stats["frac_pos"] >= 0.9  # round-5 raise; see position gate
     assert np.median(stats["ham"]) <= 1
     assert stats["ham"].mean() <= 2.5
 
