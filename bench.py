@@ -378,7 +378,26 @@ def bench_sfm(num_keyframes: int = 50, num_points: int = 600) -> None:
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--all", action="store_true", help="run BASELINE configs 2-5 too")
+    p.add_argument(
+        "--only",
+        help="comma-separated subset of sections: headline,two_view,"
+        "conductivity,video,sfm,sfm200 (each self-contained — a"
+        " compile-service hang in one section then cannot block the rest)",
+    )
     args = p.parse_args()
+    sections = {
+        "headline": bench_headline,
+        "two_view": bench_two_view,
+        "conductivity": bench_conductivity,
+        "video": bench_video,
+        "sfm": bench_sfm,
+        "sfm200": lambda: bench_sfm(num_keyframes=200, num_points=5000),
+    }
+    if args.only:
+        baseline_fps(announce=True)
+        for name in args.only.split(","):
+            sections[name.strip()]()
+        return
     if args.all:
         baseline_fps(announce=True)
     bench_headline()
