@@ -174,6 +174,17 @@ class RansacConfig:
     # Inlier threshold on Sampson distance in *normalized* image coordinates.
     inlier_threshold: float = 1e-3
     seed: int = 0
+    # Beam width for the guarded LO-RANSAC refit (round 5): the top
+    # `refit_beam` hypotheses each get the iterated refit, and the winning
+    # basin is chosen by cheirality-valid inlier count.  1 reproduces the
+    # fragile round-4 single-basin behavior (1-2 catastrophic poses — rot
+    # 5-8 deg / t-dir 50-83 — per 24-combo sweep); 16 still leaves one
+    # (worst 7.2/66); 32 removes every catastrophic combo (worst
+    # 1.85/7.74) at a ~2.8x config-2 throughput cost (540 -> 194 pairs/s
+    # at P=32) that the robustness justifies.  Lower it only for
+    # throughput-critical pipelines that tolerate occasional pose
+    # outliers (BASELINE.md round 5).
+    refit_beam: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -255,7 +255,7 @@ def _estimate_relative_pose_f32(
     # 0.1-1 deg on the same matches.  Refitting the top-8 costs eight
     # (N, 9) QRs + tiny SVDs and picks the basin with the best FINAL
     # count: every tested combo lands inside the reference bound.
-    M = min(32, config.num_iterations)
+    M = min(config.refit_beam, config.num_iterations)
     _, top = jax.lax.top_k(scores, M)
 
     def refit_beam(E0, inl0, cnt0):

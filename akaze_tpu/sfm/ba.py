@@ -268,8 +268,15 @@ def _lm_loop(problem: BAProblem, config: SfmConfig, axis_name=None) -> BAProblem
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def bundle_adjust(problem: BAProblem, config: SfmConfig) -> BAProblem:
-    """Single-device LM bundle adjustment (fixed iteration count)."""
-    return _lm_loop(problem, config)
+    """Single-device LM bundle adjustment (fixed iteration count).
+
+    f32 matmul precision: like geometry/twoview.py, the TPU default runs
+    matmuls (incl. the CG/Schur products and autodiff transposes) in
+    bf16, which is enough to diverge the 200 kf loop bench (measured ATE
+    3.75 on TPU vs 0.03 on CPU with identical inputs — round 5); the
+    geometry stages are tiny next to the front-end."""
+    with jax.default_matmul_precision("float32"):
+        return _lm_loop(problem, config)
 
 
 def bundle_adjust_sharded(problem: BAProblem, config: SfmConfig, mesh) -> BAProblem:
@@ -290,7 +297,9 @@ def bundle_adjust_sharded(problem: BAProblem, config: SfmConfig, mesh) -> BAProb
         check_vma=False,
     )
     def run(problem):
-        return _lm_loop(problem, config, axis_name="data")
+        # f32 matmul precision: see bundle_adjust.
+        with jax.default_matmul_precision("float32"):
+            return _lm_loop(problem, config, axis_name="data")
 
     return jax.jit(run)(problem)
 

@@ -204,11 +204,17 @@ def _window_superstep(
         valid = valid.at[trows].set(valid[trows] | ok)
         return (poses, points, valid), None
 
-    (poses, points, valid), _ = jax.lax.scan(
-        body, (poses, points, valid),
-        (ks, pnp_rows, pnp_uv, pnp_w, tri_rows, tri_anc, tri_uva, tri_uvb,
-         tri_w),
-    )
+    # f32 matmul precision (round 5): the TPU default runs the PnP jacfwd/
+    # normal-equation products and the triangulation einsums in bf16 —
+    # enough to DIVERGE the 200 kf loop bench on TPU (ATE 3.75) while the
+    # identical CPU run measured 0.03.  Same rule as geometry/twoview.py;
+    # these stages are tiny next to the front-end.
+    with jax.default_matmul_precision("float32"):
+        (poses, points, valid), _ = jax.lax.scan(
+            body, (poses, points, valid),
+            (ks, pnp_rows, pnp_uv, pnp_w, tri_rows, tri_anc, tri_uva,
+             tri_uvb, tri_w),
+        )
     return poses, points, valid
 
 
@@ -421,11 +427,16 @@ def run_incremental(
         for k in range(1, j_init):
             poses[k] = poses[j_init] * (k / j_init)
 
-        # Map: triangulate the init inliers.
+        # Map: triangulate the init inliers (f32 matmuls — the initial map
+        # seeds everything downstream; see _window_superstep).
         inl = np.asarray(res.inliers)
-        pts3 = np.asarray(
-            triangulate(jnp.asarray(R), jnp.asarray(t), jnp.asarray(x1), jnp.asarray(x2))
-        )
+        with jax.default_matmul_precision("float32"):
+            pts3 = np.asarray(
+                triangulate(
+                    jnp.asarray(R), jnp.asarray(t),
+                    jnp.asarray(x1), jnp.asarray(x2),
+                )
+            )
         good = inl & (pts3[:, 2] > 0)
         n_init = int(good.sum())
         ensure_capacity(n_init)

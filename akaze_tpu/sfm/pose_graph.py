@@ -100,7 +100,13 @@ def optimize_pose_graph(
         delta = -jnp.linalg.solve(h, g) * mask
         return (p0 + delta).reshape(K, 6), jnp.sum(r * r)
 
-    poses, costs = jax.lax.scan(step, graph.poses, None, length=iterations)
+    # f32 matmul precision: the jacfwd products and the dense solve must
+    # not run at the TPU's bf16 default (same rule as geometry/twoview.py
+    # and sfm/ba.py; measured class of failure in BASELINE.md round 5).
+    with jax.default_matmul_precision("float32"):
+        poses, costs = jax.lax.scan(
+            step, graph.poses, None, length=iterations
+        )
     return PoseGraph(
         poses=poses, edge_i=graph.edge_i, edge_j=graph.edge_j,
         rel=graph.rel, valid=graph.valid, fixed=graph.fixed,
