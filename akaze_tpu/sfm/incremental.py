@@ -243,17 +243,28 @@ def _apply_pose_graph(poses, num_kf, closures, iterations=12, sconfig=None):
     poses_j = jnp.asarray(poses, jnp.float32)
     edges_i = list(range(1, num_kf))
     edges_j = list(range(0, num_kf - 1))
-    rels = [
-        np.asarray(relative(poses_j[k], poses_j[k - 1]), np.float32)
-        for k in range(1, num_kf)
-    ]
-    for i, j, rel6 in act:  # i < j; edge measures cam_j-from-cam_i
+    # ONE batched relative() for all odometry edges, f32 matmuls: the
+    # round-5 first cut looped 200 per-edge calls — 400 tiny TPU
+    # dispatches over the tunnel, each running its 3x3 composes at the
+    # bf16 matmul default, which injected ~3e-3-rad noise into every
+    # odometry measurement (bigger than the closure noise it was
+    # weighting against).
+    with jax.default_matmul_precision("float32"):
+        odo = np.asarray(
+            relative(poses_j[1:num_kf], poses_j[: num_kf - 1]), np.float32
+        )
+        ci = np.asarray([c[0] for c in act], np.int32)
+        cj = np.asarray([c[1] for c in act], np.int32)
+        est = np.asarray(relative(poses_j[cj], poses_j[ci]), np.float32)
+    rels = list(odo)
+    for (i, j, rel6), est_e in zip(act, est):
+        # i < j; edge measures cam_j-from-cam_i; monocular closures carry
+        # unit-scale translation — rescale to the current baseline norm.
         rel6 = np.asarray(rel6, np.float32).copy()
-        est = np.asarray(relative(poses_j[j], poses_j[i]), np.float32)
-        scale = float(np.linalg.norm(est[3:]))
+        scale = float(np.linalg.norm(est_e[3:]))
         rel6[3:] *= max(scale, 1e-6)
-        edges_i.append(j)
-        edges_j.append(i)
+        edges_i.append(int(j))
+        edges_j.append(int(i))
         rels.append(rel6)
     e = len(edges_i)
     n_odo = num_kf - 1  # odometry edges precede closures in the lists
