@@ -29,7 +29,16 @@ def rotvec_to_matrix(r: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), k.shape)
-    return eye + a * k + b * (k @ k)
+    # K^2 = r r^T - |r|^2 I, computed ELEMENTWISE (outer product via
+    # broadcasting): the earlier `k @ k` was a real MXU matmul, which on
+    # TPU runs at the bf16 default wherever the caller forgot a precision
+    # context — ~3e-3 relative error in every rotation matrix built
+    # outside one (round 5: this inflated the 200 kf TPU ATE through
+    # camera_centers and friends).  The identity form is exact f32
+    # everywhere and cheaper than a matmul.
+    rrT = r[..., :, None] * r[..., None, :]
+    k2 = rrT - theta2 * eye
+    return eye + a * k + b * k2
 
 
 def matrix_to_rotvec(m: jnp.ndarray) -> jnp.ndarray:
