@@ -92,6 +92,34 @@ def variant_e(flat, h, w):
     return resp, idx
 
 
+def variant_f(flat, h, w, k=512):
+    # FULL exact pooled pipeline: 2x2 score pool (exact: strict-3x3 maxima
+    # admit at most one candidate per 2x2 block) + pooled position plane +
+    # per-row position recovery gather -> exact (resp, yi, xi).
+    plane = flat.reshape(-1, h, w)
+    pooled = jax.lax.reduce_window(
+        plane, -3.0e38, jax.lax.max, (1, 2, 2), (1, 2, 2), "SAME"
+    )
+    ys = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 2)
+    posv = jnp.where(plane > -1.0e38, (ys % 2) * 2 + (xs % 2), -1)
+    pos_pooled = jax.lax.reduce_window(
+        posv, -1, jax.lax.max, (1, 2, 2), (1, 2, 2), "SAME"
+    )
+    wp = pooled.shape[2]
+    pf = pooled.reshape(plane.shape[0], -1)
+    k = min(k, pf.shape[1])
+    resp, idx = jax.lax.approx_max_k(pf, k, recall_target=RECALL)
+    pos = jnp.take_along_axis(
+        pos_pooled.reshape(plane.shape[0], -1), idx, axis=1
+    )
+    yp = idx // wp
+    xp = idx - yp * wp
+    yi = 2 * yp + jnp.maximum(pos, 0) // 2
+    xi = 2 * xp + jnp.maximum(pos, 0) % 2
+    return resp, yi * w + xi
+
+
 def timed(fn, groups_np, reps):
     @jax.jit
     def run(groups):
@@ -121,9 +149,14 @@ def main():
     rng = np.random.default_rng(0)
     groups_np = [make_scores(rng, n, h, w) for (n, h, w) in GROUPS]
     r0, r1 = 4, 20
+    import functools
+
     for name, fn in [("a_current", variant_a), ("b_noagg", variant_b),
                      ("c_pool2x2", variant_c), ("d_k512", variant_d),
-                     ("e_pool_k512", variant_e)]:
+                     ("e_pool_k512", variant_e),
+                     ("f_full_pool_k512", variant_f),
+                     ("g_full_pool_k256",
+                      functools.partial(variant_f, k=256))]:
         try:
             t_small, _ = timed(fn, groups_np, r0)
             t_big, _ = timed(fn, groups_np, r1)
