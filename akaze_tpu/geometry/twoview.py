@@ -251,10 +251,12 @@ def _estimate_relative_pose_f32(
     # hypothesis occasionally tops the raw count (a wrong E can fit a
     # plane-dominated subset), and the guarded refit then polishes the
     # wrong basin — measured 1-2 of 12 (scene-seed, ransac-seed) combos
-    # landing at rot 5-8 deg / t-dir 13-70 deg while other seeds measured
-    # 0.1-1 deg on the same matches.  Refitting the top-8 costs eight
-    # (N, 9) QRs + tiny SVDs and picks the basin with the best FINAL
-    # count: every tested combo lands inside the reference bound.
+    # landing at rot 5-8 deg / t-dir 50-83 deg while other seeds measured
+    # 0.1-1 deg on the same matches; in the worst case ALL top-8 raw-count
+    # hypotheses sat in the same wrong basin, so the beam must reach past
+    # them (M=16 still left one catastrophic combo; the default M=32
+    # clears all 24 — core/config.py refit_beam).  Each beam entry costs
+    # one (N, 9) QR + tiny SVDs per refit round.
     M = min(config.refit_beam, config.num_iterations)
     _, top = jax.lax.top_k(scores, M)
 
