@@ -80,13 +80,19 @@ def bench_headline() -> None:
 
     config = AkazeConfig()
     mcfg = MatchConfig()
-    # Batch 64 beats 16 by ~3.5% on v5e (766 vs 740 fps measured 2026-08-18):
-    # per-dispatch fixed costs amortize; beyond 64 the gain flattens.
+    # Batch 128 (round 5): the round-2 "flattens past 64" reading no
+    # longer holds at the ~13 ms/batch16 operating point — per-dispatch
+    # fixed costs shrank relative to compute as the pipeline got faster,
+    # and 128 measured +5.7% over 64 same-session (1227.7 vs 1161.2).
+    # reps = 3 keeps the in-flight bytes at the level 3x-batch-128 chained
+    # dispatches just measured safely — the round-3 note says ~6 queued
+    # batch-64 dispatches can abort the tunneled backend, and 4x128 would
+    # exceed that equivalent depth.
     # DISTINCT pre-uploaded inputs per rep guard against tunnel result
     # reuse (verified identical to same-input in round 2, but the round-3
     # custom-call-free configs measured impossible numbers with one input).
-    batch = 64
-    reps = 4
+    batch = 128
+    reps = 3
     # One UNIQUE buffer per rep: re-executing the same program on the same
     # device buffer can return a cached result through the tunnel (measured
     # 865k "fps").  4 queued batch-64 dispatches measure honestly (57 ms
